@@ -1,0 +1,220 @@
+"""Configuration system: CLI parity with the reference + the YAML config the
+reference left as an empty placeholder.
+
+The flag set, names, defaults and choices mirror the reference CLI exactly
+(reference: slam/monocular/main_revamped.py:192-256), so launch commands from
+``scripts/run_tracker_visualization.sh`` work unchanged. On top of that we add
+TPU-specific knobs (static pad sizes, precision, mesh shape) under their own
+group — the reference has no equivalent (it has no device model at all).
+
+The reference also shipped empty ``config/monocular.yaml`` / ``config/stereo.yaml``
+placeholders (SURVEY.md §5); here YAML round-tripping is implemented:
+``SLAMConfig.from_yaml`` / ``save_yaml`` map 1:1 onto the CLI flags.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+
+@dataclass
+class SLAMConfig:
+    # dataset
+    dataset: str = "kitti"                 # kitti | malaga | tum-rgbd | custom
+    base_dir: str = "../Dataset"
+
+    # feature / detector settings (reference defaults: main_revamped.py:200-208)
+    detector: str = "orb"                  # orb | sift | akaze | aliked
+    matcher: str = "bf"                    # bf | flann
+    use_lightglue: bool = False
+    min_conf: float = 0.7
+    max_features: int = 4000
+
+    # runtime
+    fps: float = 10.0
+
+    # RANSAC
+    ransac_thresh: float = 2.5
+
+    # keyframe policy (reference: keyframe_utils.py:42-96)
+    kf_max_disp: float = 45.0
+    kf_min_inliers: float = 150.0
+    kf_min_ratio: float = 0.35
+    kf_min_rot_deg: float = 8.0
+    kf_cooldown: int = 5
+    kf_thumb_hw: List[int] = field(default_factory=lambda: [640, 360])
+
+    # visualization
+    no_viz3d: bool = False
+    headless: bool = False
+
+    # triangulation depth gates
+    min_depth: float = 0.40
+    max_depth: float = 100.0
+    mvt_rep_err: float = 2.0
+
+    # PnP / map maintenance
+    pnp_min_inliers: int = 30
+    proj_radius: float = 10.0
+    merge_radius: float = 0.10
+
+    # local BA
+    local_ba_window: int = 10
+    local_ba_min_new_points: int = 60
+    local_ba_max_points: int = 5000
+    local_ba_max_iters: int = 12
+
+    # global BA
+    gba_every: int = 100
+    gba_max_points: Optional[int] = None
+    gba_max_iters: int = 30
+    gba_fix_first: int = 1
+
+    # ---- hard-coded reference constants surfaced as config (SURVEY.md §5) --
+    bootstrap_min_posdepth: float = 0.90   # main_revamped.py:358-362
+    bootstrap_min_parallax_deg: float = 0.5
+    bootstrap_score_ratio_h: float = 0.45
+    bootstrap_refresh_min_matches: int = 80   # main_revamped.py:350
+    bootstrap_refresh_max_age: int = 30
+    pnp_iters: int = 300                   # main_revamped.py:474
+    pnp_conf: float = 0.999
+    triangulation_parallax_min_deg: float = 2.0  # main_revamped.py:567
+    match_max_hamm: int = 64               # main_revamped.py:464
+    match_max_l2: float = 0.8              # pnp_utils.py:232
+    ba_huber: float = 2.0                  # ba_utils.py:236
+
+    # ---- TPU-native knobs (no reference equivalent) -----------------------
+    pad_features: int = 0                  # 0 => round max_features up to 512
+    map_capacity: int = 32768              # static landmark-store capacity
+    ransac_hypotheses: int = 256           # batched hypotheses per model
+    compute_dtype: str = "float32"         # NN compute dtype (bfloat16|float32)
+    mesh_devices: int = 0                  # 0 => all available devices
+    jit_tracking: bool = True
+    seed: int = 0
+
+    # ------------------------------------------------------------------ api
+    @property
+    def n_kp(self) -> int:
+        """Static keypoint pad size (multiple of 128 for TPU lane tiling)."""
+        if self.pad_features:
+            return self.pad_features
+        return ((self.max_features + 127) // 128) * 128
+
+    def replace(self, **kw: Any) -> "SLAMConfig":
+        return dataclasses.replace(self, **kw)
+
+    # ---- YAML --------------------------------------------------------------
+    @classmethod
+    def from_yaml(cls, path: str) -> "SLAMConfig":
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - known
+        if unknown:
+            raise ValueError(f"unknown config keys in {path}: {sorted(unknown)}")
+        return cls(**raw)
+
+    def save_yaml(self, path: str) -> None:
+        import yaml
+
+        with open(path, "w") as f:
+            yaml.safe_dump(dataclasses.asdict(self), f, sort_keys=False)
+
+    # ---- argparse bridging ---------------------------------------------------
+    @classmethod
+    def from_args(cls, args: argparse.Namespace) -> "SLAMConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in vars(args).items() if k in known and v is not None}
+        cfg = cls(**kw)
+        if getattr(args, "config", None):
+            base = cls.from_yaml(args.config)
+            # CLI flags explicitly set override YAML.
+            cli_set = {
+                k: v for k, v in kw.items()
+                if getattr(args, "_explicit", None) is None or k in args._explicit
+            }
+            cfg = dataclasses.replace(base, **cli_set)
+        return cfg
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """Reference-parity CLI (flag-for-flag with main_revamped.py:192-256)."""
+    p = argparse.ArgumentParser("Feature tracking with key-frames (TPU-native)")
+    d = SLAMConfig()
+
+    p.add_argument("--config", default=None, help="YAML config file (new)")
+    p.add_argument("--dataset", choices=["kitti", "malaga", "tum-rgbd", "custom"],
+                   required=False, default=d.dataset)
+    p.add_argument("--base_dir", default=d.base_dir)
+
+    p.add_argument("--detector", choices=["orb", "sift", "akaze", "aliked"],
+                   default=d.detector)
+    p.add_argument("--matcher", choices=["bf", "flann"], default=d.matcher)
+    p.add_argument("--use_lightglue", action="store_true")
+    p.add_argument("--min_conf", type=float, default=d.min_conf,
+                   help="Minimum LightGlue confidence for a match")
+    p.add_argument("--max_features", type=int, default=d.max_features,
+                   help="Max features/keypoints for classical detectors and ALIKED")
+    p.add_argument("--fps", type=float, default=d.fps)
+    p.add_argument("--ransac_thresh", type=float, default=d.ransac_thresh)
+
+    p.add_argument("--kf_max_disp", type=float, default=d.kf_max_disp)
+    p.add_argument("--kf_min_inliers", type=float, default=d.kf_min_inliers)
+    p.add_argument("--kf_min_ratio", type=float, default=d.kf_min_ratio,
+                   help="Min inlier ratio (to prev KF kps) before promoting KF")
+    p.add_argument("--kf_min_rot_deg", type=float, default=d.kf_min_rot_deg,
+                   help="Min rotation (deg) wrt prev KF to trigger KF")
+    p.add_argument("--kf_cooldown", type=int, default=d.kf_cooldown)
+    p.add_argument("--kf_thumb_hw", type=int, nargs=2, default=list(d.kf_thumb_hw))
+
+    p.add_argument("--no_viz3d", action="store_true",
+                   help="Disable 3-D visualization window")
+    p.add_argument("--headless", action="store_true",
+                   help="Disable ALL visualization during the run; save trajectory graph at the end")
+
+    p.add_argument("--min_depth", type=float, default=d.min_depth)
+    p.add_argument("--max_depth", type=float, default=d.max_depth)
+    p.add_argument("--mvt_rep_err", type=float, default=d.mvt_rep_err,
+                   help="Max mean reprojection error (px) for multi-view triangulation")
+
+    p.add_argument("--pnp_min_inliers", type=int, default=d.pnp_min_inliers)
+    p.add_argument("--proj_radius", type=float, default=d.proj_radius)
+    p.add_argument("--merge_radius", type=float, default=d.merge_radius)
+
+    p.add_argument("--local_ba_window", type=int, default=d.local_ba_window,
+                   help="Window size (number of keyframes) for local BA")
+    p.add_argument("--local_ba_min_new_points", type=int, default=d.local_ba_min_new_points,
+                   help="Only run local BA when at least this many new landmarks were triangulated")
+    p.add_argument("--local_ba_max_points", type=int, default=d.local_ba_max_points,
+                   help="Cap landmarks included in local BA for runtime")
+    p.add_argument("--local_ba_max_iters", type=int, default=d.local_ba_max_iters,
+                   help="Maximum LM iterations for local BA")
+
+    p.add_argument("--gba_every", type=int, default=d.gba_every,
+                   help="Run global BA every N frames")
+    p.add_argument("--gba_max_points", type=int, default=d.gba_max_points,
+                   help="Cap points in GBA (None = all)")
+    p.add_argument("--gba_max_iters", type=int, default=d.gba_max_iters,
+                   help="LM iterations for GBA")
+    p.add_argument("--gba_fix_first", type=int, default=d.gba_fix_first,
+                   help="1=fix first KF to anchor gauge, 0=free")
+
+    # --- TPU-native extensions ---
+    g = p.add_argument_group("tpu")
+    g.add_argument("--pad_features", type=int, default=d.pad_features)
+    g.add_argument("--map_capacity", type=int, default=d.map_capacity)
+    g.add_argument("--ransac_hypotheses", type=int, default=d.ransac_hypotheses)
+    g.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default=d.compute_dtype)
+    g.add_argument("--mesh_devices", type=int, default=d.mesh_devices)
+    g.add_argument("--seed", type=int, default=d.seed)
+    return p
+
+
+def parse_config(argv: Optional[List[str]] = None) -> SLAMConfig:
+    args = build_parser().parse_args(argv)
+    return SLAMConfig.from_args(args)
