@@ -1,0 +1,378 @@
+"""Frame-to-map tracking ops: constant-velocity prediction, vectorized
+2D-3D data association, and PnP-RANSAC with on-device Gauss-Newton refinement.
+
+TPU-native replacement for the reference's PnP layer (slam/core/pnp_utils.py):
+
+  * ``predict_pose_const_vel`` — identical formula,
+    ``T_pred = T_prev @ inv(T_prevprev) @ T_prev`` (pnp_utils.py:26-30).
+  * ``reproject_and_match_2d3d`` — the reference's Python loop over candidate
+    landmarks x cKDTree window queries x per-observation descriptor distances
+    (pnp_utils.py:224-304, the #2 hot spot per SURVEY.md §3) becomes one
+    masked dense computation: project ALL landmarks, gate on the image window
+    (radius_px), compute all landmark-ring x keypoint descriptor distances as
+    MXU matmuls (best of the last <=6 observation descriptors,
+    pnp_utils.py:115-127), threshold with the metric auto-switch
+    (Hamming/uint8 vs L2/float, max_hamm=64 / max_l2=0.8), and resolve the
+    one-keypoint-one-landmark constraint with a scatter-min by landmark order
+    (the parallel analog of the reference's insertion-order greedy
+    ``used_kps``; a landmark that loses its best keypoint to an earlier
+    landmark is dropped for this frame rather than falling back to its
+    second-best — immaterial at real keypoint densities).
+  * ``solve_pnp_ransac`` — ``cv2.solvePnPRansac(SOLVEPNP_ITERATIVE)``
+    (pnp_utils.py:307-341) becomes batched-hypothesis RANSAC (6-point DLT
+    pose fits, all hypotheses scored at once, the extrinsic guess included as
+    hypothesis 0) + Gauss-Newton refinement on the SE(3) tangent.
+  * host-API parity helpers ``associate_landmarks`` / ``refine_pose_pnp`` /
+    ``project_points_wc`` match the signatures the reference unit tests use
+    (pnp_utils.py:147-221).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpleslam_tpu.ops import se3
+from simpleslam_tpu.ops.matching import hamming_matrix, l2sq_matrix, unpack_bits
+from simpleslam_tpu.ops.projection import project_points
+from simpleslam_tpu.ops.ransac import sample_minimal_sets
+from simpleslam_tpu.utils.precision import highest_precision
+
+_EPS = 1e-12
+_INF = jnp.float32(1e9)
+
+
+# --------------------------------------------------------------------------- #
+# Constant-velocity motion model
+# --------------------------------------------------------------------------- #
+
+@highest_precision
+def predict_pose_const_vel(Tcw_prevprev: jax.Array,
+                           Tcw_prev: jax.Array) -> jax.Array:
+    """T_pred = T_prev @ inv(T_prevprev) @ T_prev (pnp_utils.py:26-30)."""
+    return Tcw_prev @ se3.T_inverse(Tcw_prevprev) @ Tcw_prev
+
+
+# --------------------------------------------------------------------------- #
+# Vectorized 2D-3D association
+# --------------------------------------------------------------------------- #
+
+class Assoc2D3D(NamedTuple):
+    """Per-landmark association result (padded to map capacity C)."""
+    kp_idx: jax.Array     # (C,) int32 matched keypoint index (undefined if !valid)
+    dist: jax.Array       # (C,) float32 descriptor distance
+    uv_proj: jax.Array    # (C,2) projected landmark pixels
+    valid: jax.Array      # (C,) bool
+
+
+@partial(jax.jit, static_argnames=("img_w", "img_h", "chunk"))
+def reproject_and_match_2d3d(
+    positions: jax.Array,      # (C,3) f32 landmark positions
+    alive: jax.Array,          # (C,)  bool
+    desc_ring: jax.Array,      # (C,R,D) last-R observation descriptors
+    n_desc: jax.Array,         # (C,)  int32 live ring slots
+    kpts: jax.Array,           # (N,2) f32 current keypoints
+    desc_cur: jax.Array,       # (N,D) current descriptors (u8 binary | float)
+    kp_valid: jax.Array,       # (N,)  bool
+    K: jax.Array, Tcw_pred: jax.Array,
+    *, img_w: int, img_h: int,
+    radius_px: float = 12.0, max_hamm: float = 64.0, max_l2: float = 0.8,
+    chunk: int = 2048,
+) -> Assoc2D3D:
+    """Windowed descriptor association of map landmarks to frame keypoints.
+
+    Semantics mirror pnp_utils.reproject_and_match_2d3d (:224-304); see
+    module docstring for the one divergence (conflict losers drop out).
+    Landmark chunks stream through VMEM-sized tiles via lax.map so the
+    (C x N) work never materializes at full map capacity.
+    """
+    C = positions.shape[0]
+    N = kpts.shape[0]
+    binary = desc_cur.dtype == jnp.uint8
+    thr = jnp.float32(max_hamm if binary else max_l2)
+    r2 = jnp.float32(radius_px * radius_px)
+
+    uv_all, z_all, in_front = project_points(positions, Tcw_pred, K)
+    cand = (alive & in_front
+            & (uv_all[:, 0] >= 0.0) & (uv_all[:, 0] < float(img_w))
+            & (uv_all[:, 1] >= 0.0) & (uv_all[:, 1] < float(img_h))
+            & (n_desc > 0))
+
+    if binary:
+        kp_bits = unpack_bits(desc_cur)                       # (N, 8D)
+    else:
+        kp_f = desc_cur.astype(jnp.float32)
+
+    R = desc_ring.shape[1]
+    D = desc_ring.shape[2]
+    n_chunks = max(1, C // chunk)
+    assert C % chunk == 0 or C < chunk, "map capacity must be chunk-aligned"
+
+    def process(chunk_data):
+        uv_c, cand_c, ring_c, nd_c = chunk_data
+        CH = uv_c.shape[0]
+        # spatial window gate (CH, N)
+        d2 = (jnp.sum(uv_c * uv_c, axis=1)[:, None]
+              + jnp.sum(kpts * kpts, axis=1)[None, :]
+              - 2.0 * jax.lax.dot_general(
+                  uv_c, kpts, (((1,), (1,)), ((), ())),
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST))
+        window = (d2 <= r2) & kp_valid[None, :] & cand_c[:, None]
+
+        # descriptor distances: (CH*R, D) x (D, N) -> (CH, R, N)
+        flat = ring_c.reshape(CH * R, D)
+        if binary:
+            dd = hamming_matrix(unpack_bits(flat), kp_bits)
+        else:
+            dd = jnp.sqrt(l2sq_matrix(flat.astype(jnp.float32), kp_f))
+        dd = dd.reshape(CH, R, N)
+        slot_ok = (jnp.arange(R)[None, :, None]
+                   < jnp.minimum(nd_c, R)[:, None, None])
+        dd = jnp.where(slot_ok, dd, _INF)
+        best_over_ring = jnp.min(dd, axis=1)                  # (CH, N)
+
+        scored = jnp.where(window & (best_over_ring <= thr),
+                           best_over_ring, _INF)
+        best_kp = jnp.argmin(scored, axis=1).astype(jnp.int32)
+        best_d = jnp.take_along_axis(scored, best_kp[:, None], axis=1)[:, 0]
+        return best_kp, best_d
+
+    if C <= chunk:
+        best_kp, best_d = process((uv_all, cand, desc_ring, n_desc))
+    else:
+        ch_uv = uv_all.reshape(n_chunks, chunk, 2)
+        ch_cand = cand.reshape(n_chunks, chunk)
+        ch_ring = desc_ring.reshape(n_chunks, chunk, R, D)
+        ch_nd = n_desc.reshape(n_chunks, chunk)
+        best_kp, best_d = jax.lax.map(process, (ch_uv, ch_cand, ch_ring, ch_nd))
+        best_kp = best_kp.reshape(C)
+        best_d = best_d.reshape(C)
+
+    has = best_d < _INF
+    # one-kp-one-landmark: earliest landmark (lowest row) wins (insertion-
+    # order greedy analog of the reference's used_kps set)
+    order = jnp.arange(C, dtype=jnp.int32)
+    claim = jnp.where(has, best_kp, N)       # N = dummy bucket for no-claims
+    winner = jnp.full((N + 1,), C, jnp.int32).at[claim].min(order)
+    valid = has & (winner[claim] == order)
+    return Assoc2D3D(kp_idx=best_kp, dist=best_d, uv_proj=uv_all, valid=valid)
+
+
+# --------------------------------------------------------------------------- #
+# PnP solvers
+# --------------------------------------------------------------------------- #
+
+@highest_precision
+def dlt_pose(pts3d: jax.Array, uv_n: jax.Array,
+             w: jax.Array | None = None) -> jax.Array:
+    """Direct linear transform camera pose from >=6 points.
+
+    ``uv_n`` are K-normalized image coords. Solves P = [R|t] up to scale via
+    the 2k x 12 homogeneous system, then projects onto SE(3) (SVD
+    orthogonalization + cheirality sign fix). Returns a 4x4 T_cw.
+    """
+    k = pts3d.shape[0]
+    if w is None:
+        w = jnp.ones((k,), pts3d.dtype)
+    Xh = jnp.concatenate([pts3d, jnp.ones((k, 1), pts3d.dtype)], axis=1)  # (k,4)
+    zeros = jnp.zeros_like(Xh)
+    r1 = jnp.concatenate([Xh, zeros, -uv_n[:, 0:1] * Xh], axis=1)
+    r2 = jnp.concatenate([zeros, Xh, -uv_n[:, 1:2] * Xh], axis=1)
+    A = jnp.concatenate([r1, r2], axis=0) * jnp.concatenate([w, w])[:, None]
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    P = Vt[-1, :].reshape(3, 4)
+
+    # global sign from cheirality BEFORE orthogonalization: the projective
+    # depth w_i = P[2] . Xh_i must be positive for in-front points
+    depth_sign = jnp.sum(jnp.where(w > 0, jnp.sign(Xh @ P[2, :]), 0.0))
+    P = jnp.where(depth_sign < 0, -P, P)
+
+    M = P[:, :3]
+    U, S, Vt2 = jnp.linalg.svd(M)
+    scale = jnp.maximum(jnp.mean(S), _EPS)
+    R = se3.project_to_SO3(M)
+    t = P[:, 3] / scale
+    return se3.rt_to_T(R, t)
+
+
+@highest_precision
+def pnp_residual_sq(Tcw: jax.Array, pts3d: jax.Array, uv: jax.Array,
+                    K: jax.Array) -> jax.Array:
+    """Squared pixel reprojection error per point; behind-camera -> +inf."""
+    uvp, z, front = project_points(pts3d, Tcw, K)
+    e = jnp.sum((uvp - uv) ** 2, axis=-1)
+    return jnp.where(front, e, _INF)
+
+
+@highest_precision
+def gn_refine_pose(Tcw0: jax.Array, pts3d: jax.Array, uv: jax.Array,
+                   K: jax.Array, weights: jax.Array,
+                   iters: int = 10, damping: float = 1e-4) -> jax.Array:
+    """Gauss-Newton (lightly damped) pose refinement on the SE(3) tangent.
+
+    Left-multiplicative updates ``T <- exp(xi) T``; replaces the iterative
+    half of cv2.solvePnPRansac(SOLVEPNP_ITERATIVE).
+    """
+    fx, fy = K[0, 0], K[1, 1]
+
+    def step(_, T):
+        R = T[:3, :3]
+        t = T[:3, 3]
+        pc = pts3d @ R.T + t                          # (M,3)
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        x, y = pc[:, 0], pc[:, 1]
+        u_pred = fx * x / z + K[0, 2]
+        v_pred = fy * y / z + K[1, 2]
+        r = jnp.stack([u_pred - uv[:, 0], v_pred - uv[:, 1]], axis=1)  # (M,2)
+
+        # d(uv)/d(p_c)
+        zi = 1.0 / z
+        Ju = jnp.stack([fx * zi, jnp.zeros_like(z), -fx * x * zi * zi], axis=1)
+        Jv = jnp.stack([jnp.zeros_like(z), fy * zi, -fy * y * zi * zi], axis=1)
+        # d(p_c)/d(xi) = [I | -hat(p_c)] (left perturbation)
+        Jp = jnp.concatenate(
+            [jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), (pc.shape[0], 3, 3)),
+             -se3.hat(pc)], axis=2)                    # (M,3,6)
+        J = jnp.stack([jnp.einsum("mi,mij->mj", Ju, Jp),
+                       jnp.einsum("mi,mij->mj", Jv, Jp)], axis=1)  # (M,2,6)
+
+        wv = weights * (pc[:, 2] > 1e-6)
+        Jw = J * wv[:, None, None]
+        H = jnp.einsum("mri,mrj->ij", Jw, J) + damping * jnp.eye(6, dtype=T.dtype)
+        g = jnp.einsum("mri,mr->i", Jw, r)
+        xi = -jnp.linalg.solve(H, g)
+        return se3.se3_exp(xi) @ T
+
+    return jax.lax.fori_loop(0, iters, step, Tcw0)
+
+
+@partial(jax.jit, static_argnames=("n_hyp", "refine_iters"))
+def solve_pnp_ransac(key: jax.Array,
+                     pts3d: jax.Array, uv: jax.Array, valid: jax.Array,
+                     K: jax.Array, ransac_px: float,
+                     Tcw_init: Optional[jax.Array] = None,
+                     n_hyp: int = 256, refine_iters: int = 10):
+    """Batched-hypothesis PnP-RANSAC -> (T_cw, inlier mask, n_inliers, ok).
+
+    cv2.solvePnPRansac equivalent (pnp_utils.py:307-341): 6-point DLT
+    hypotheses scored all at once; the extrinsic guess (``Tcw_init``, the
+    const-velocity prediction at the call site, main_revamped.py:469-475)
+    joins the hypothesis pool; the winner is polished with Gauss-Newton on
+    its inliers and re-scored.
+    """
+    M = pts3d.shape[0]
+    thresh_sq = jnp.float32(ransac_px) ** 2
+
+    fx, fy = K[0, 0], K[1, 1]
+    uv_n = jnp.stack([(uv[:, 0] - K[0, 2]) / fx,
+                      (uv[:, 1] - K[1, 2]) / fy], axis=1)
+
+    idx, ok_h = sample_minimal_sets(key, valid, 6, n_hyp)
+    models = jax.vmap(lambda i: dlt_pose(pts3d[i], uv_n[i]))(idx)   # (S,4,4)
+    if Tcw_init is not None:
+        models = jnp.concatenate([Tcw_init[None], models], axis=0)
+        ok_h = jnp.concatenate([jnp.ones((1,), bool), ok_h])
+
+    res = jax.vmap(lambda T: pnp_residual_sq(T, pts3d, uv, K))(models)
+    inl = (res < thresh_sq) & valid[None, :]
+    counts = jnp.sum(inl.astype(jnp.int32), axis=1)
+    counts = jnp.where(ok_h, counts, -1)
+    best = jnp.argmax(counts)
+    T_best = models[best]
+    inl_best = inl[best]
+
+    # LO-RANSAC polish: alternate (GN refine on inliers -> re-gate inliers),
+    # keeping the best-by-count iterate. A single pass can get stuck on the
+    # winner's possibly-biased inlier set; 3 rounds lets the set expand.
+    def lo_step(_, carry):
+        T_cur, inl_cur, T_out, inl_out = carry
+        T_ref = gn_refine_pose(T_cur, pts3d, uv, K,
+                               inl_cur.astype(jnp.float32), iters=refine_iters)
+        res_ref = pnp_residual_sq(T_ref, pts3d, uv, K)
+        inl_ref = (res_ref < thresh_sq) & valid
+        better = jnp.sum(inl_ref) >= jnp.sum(inl_out)
+        T_out = jnp.where(better, T_ref, T_out)
+        inl_out = jnp.where(better, inl_ref, inl_out)
+        return T_ref, inl_ref, T_out, inl_out
+
+    _, _, T_out, inl_out = jax.lax.fori_loop(
+        0, 3, lo_step, (T_best, inl_best, T_best, inl_best))
+    n = jnp.sum(inl_out.astype(jnp.int32))
+    return T_out, inl_out, n, n >= 4
+
+
+# --------------------------------------------------------------------------- #
+# Host-API parity helpers (signatures used by the reference unit tests,
+# pnp_utils.py:147-221)
+# --------------------------------------------------------------------------- #
+
+def project_points_wc(K, pose_w_c, pts_w) -> np.ndarray:
+    """Project with a camera->world pose; invalid/behind points -> (-1,-1)
+    (reference ``project_points``, pnp_utils.py:147-152)."""
+    pts_w = np.asarray(pts_w, np.float64)
+    if pts_w.size == 0:
+        return np.empty((0, 2), np.float32)
+    Tcw = np.asarray(se3.T_inverse(jnp.asarray(pose_w_c, jnp.float32)))
+    uv, z, front = project_points(jnp.asarray(pts_w, jnp.float32),
+                                  jnp.asarray(Tcw), jnp.asarray(K, jnp.float32))
+    uv = np.array(uv, np.float32)   # writable host copy
+    uv[~np.asarray(front)] = -1.0
+    return uv
+
+
+def associate_landmarks(K, pose_w_c, pts_w, kps_cur, search_rad: float = 5.0):
+    """Greedy nearest-keypoint association within a pixel window
+    (reference pnp_utils.associate_landmarks, :170-221). Host API: returns
+    (pts3d (M,3), pts2d (M,2), kp_ids list)."""
+    pts_w = np.asarray(pts_w, np.float32)
+    kp_xy = np.asarray([k.pt if hasattr(k, "pt") else k for k in kps_cur],
+                       np.float32).reshape(-1, 2)
+    if pts_w.size == 0 or kp_xy.size == 0:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 2), np.float32), [])
+
+    proj = project_points_wc(K, pose_w_c, pts_w)
+    used = np.zeros(len(kp_xy), bool)
+    p3, p2, ids = [], [], []
+    for i, uv in enumerate(proj):
+        if uv[0] < 0 or uv[1] < 0:
+            continue
+        d = np.linalg.norm(kp_xy - uv, axis=1)
+        d[used] = np.inf
+        best = int(np.argmin(d))
+        if d[best] > search_rad:
+            continue
+        used[best] = True
+        p3.append(pts_w[i])
+        p2.append(kp_xy[best])
+        ids.append(best)
+    if not p3:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 2), np.float32), [])
+    return np.asarray(p3, np.float32), np.asarray(p2, np.float32), ids
+
+
+def refine_pose_pnp(K, pts3d, pts2d, ransac_px: float = 2.0):
+    """Estimate (R, t) world->camera from 2D-3D pairs; None on failure
+    (reference pnp_utils.refine_pose_pnp, :195-221)."""
+    pts3d = np.asarray(pts3d, np.float32)
+    pts2d = np.asarray(pts2d, np.float32)
+    if len(pts3d) < 4 or len(pts2d) < 4:
+        return None, None
+    # DLT needs 6 points; 4-5 point calls fall back to GN from a coarse DLT
+    # seeded on duplicated rows (still exercised through solve_pnp_ransac).
+    m = len(pts3d)
+    if m < 6:
+        reps = int(np.ceil(6 / m))
+        pts3d = np.tile(pts3d, (reps, 1))[:max(6, m)]
+        pts2d = np.tile(pts2d, (reps, 1))[:max(6, m)]
+    T, inl, n, ok = solve_pnp_ransac(
+        jax.random.PRNGKey(0), jnp.asarray(pts3d), jnp.asarray(pts2d),
+        jnp.ones(len(pts3d), bool), jnp.asarray(K, jnp.float32),
+        float(ransac_px), n_hyp=128)
+    if not bool(ok):
+        return None, None
+    T = np.asarray(T, np.float64)
+    return T[:3, :3], T[:3, 3]

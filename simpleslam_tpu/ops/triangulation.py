@@ -1,0 +1,247 @@
+"""Batched DLT triangulation (2-view and N-view) in pure JAX.
+
+TPU-native replacement for ``cv2.triangulatePoints``
+(reference: two_view_bootstrap.py:139,324; triangulation_utils.py:152) and
+the deleted-but-contracted multi-view API whose tests survive in the
+reference tree (tests/test_multi_view_utils.py:129-190,
+tests/test_multi_view_triangulation-minimal.py:14-73 — SURVEY.md §4 requires
+resurrecting it).
+
+Design: one point = one tiny homogeneous least-squares problem
+``A X = 0`` with two rows per view. We solve the 4x4 (or 2Vx4) system for
+ALL points at once via a batched SVD — static shapes, no per-point Python.
+Also provides the angular-parallax / cheirality / depth / reprojection gates
+the reference computes around triangulation.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpleslam_tpu.ops import se3
+from simpleslam_tpu.ops.projection import project_points
+from simpleslam_tpu.utils.precision import highest_precision
+
+_EPS = 1e-12
+
+
+def projection_matrix(K: jax.Array, T_cw: jax.Array) -> jax.Array:
+    """P = K @ T_cw[:3, :] (reference: triangulation_utils.py:148-149)."""
+    return jnp.einsum("...ij,...jk->...ik", K, T_cw[..., :3, :4],
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _dlt_rows(P: jax.Array, uv: jax.Array) -> jax.Array:
+    """Two DLT rows per observation: (..., 2, 4).
+
+    rows = [u * P[2] - P[0],  v * P[2] - P[1]].
+    """
+    u = uv[..., 0:1]
+    v = uv[..., 1:2]
+    return jnp.stack([u * P[..., 2, :] - P[..., 0, :],
+                      v * P[..., 2, :] - P[..., 1, :]], axis=-2)
+
+
+@highest_precision
+def triangulate_two_view(P0: jax.Array, P1: jax.Array,
+                         uv0: jax.Array, uv1: jax.Array) -> jax.Array:
+    """Batched 2-view DLT: (N,2)+(N,2) pixels -> (N,3) world points.
+
+    Equivalent of cv2.triangulatePoints + dehomogenization with the
+    finite-w guard (reference: triangulation_utils.py:152-159).
+    """
+    A = jnp.concatenate([_dlt_rows(P0, uv0), _dlt_rows(P1, uv1)], axis=-2)  # (N,4,4)
+    # Nullspace via SVD of the (N, 4, 4) stack: last right-singular vector.
+    _, _, Vt = jnp.linalg.svd(A)
+    Xh = Vt[..., 3, :]
+    w = Xh[..., 3]
+    w_safe = jnp.where(jnp.abs(w) < _EPS, _EPS, w)
+    return Xh[..., :3] / w_safe[..., None]
+
+
+@highest_precision
+def triangulate_n_view(Ps: jax.Array, uvs: jax.Array,
+                       valid: Optional[jax.Array] = None) -> jax.Array:
+    """N-view DLT for a single track: Ps (V,3,4), uvs (V,2) -> (3,).
+
+    ``valid`` masks views out of the system (rows zeroed). Batched over
+    leading dims via vmap by callers.
+    """
+    rows = _dlt_rows(Ps, uvs)                        # (V, 2, 4)
+    if valid is not None:
+        rows = rows * valid[..., None, None].astype(rows.dtype)
+    A = rows.reshape((-1, 4))                        # (2V, 4)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    Xh = Vt[3, :]
+    w = jnp.where(jnp.abs(Xh[3]) < _EPS, _EPS, Xh[3])
+    return Xh[:3] / w
+
+
+# --------------------------------------------------------------------------- #
+# Gates (parallax / cheirality / depth / reprojection)
+# --------------------------------------------------------------------------- #
+
+@highest_precision
+def parallax_deg_world(X_w: jax.Array, T0_cw: jax.Array,
+                       T1_cw: jax.Array) -> jax.Array:
+    """World-frame, rotation-aware angular parallax per point (degrees).
+
+    Angle between the rays from each camera *center* to the point, computed
+    in the world frame so pure rotation yields ~0 deg — the reference's
+    ``_angle_parallax_deg_batch`` contract (triangulation_utils.py:54-77).
+    """
+    c0 = se3.camera_center(T0_cw)
+    c1 = se3.camera_center(T1_cw)
+    r0 = X_w - c0
+    r1 = X_w - c1
+    r0 = r0 / jnp.maximum(jnp.linalg.norm(r0, axis=-1, keepdims=True), _EPS)
+    r1 = r1 / jnp.maximum(jnp.linalg.norm(r1, axis=-1, keepdims=True), _EPS)
+    cos = jnp.clip(jnp.sum(r0 * r1, axis=-1), -1.0, 1.0)
+    return jnp.degrees(jnp.arccos(cos))
+
+
+@highest_precision
+def two_view_gates(X_w: jax.Array, K: jax.Array,
+                   T0_cw: jax.Array, T1_cw: jax.Array,
+                   uv0: jax.Array, uv1: jax.Array,
+                   *, min_depth: float, max_depth: float,
+                   min_parallax_deg: float, max_reproj_px: float):
+    """All acceptance gates for newly triangulated points, batched.
+
+    Mirrors triangulation_utils.py:178-249: parallax >= min, depth window in
+    BOTH views, cheirality, and max(reproj_err_0, reproj_err_1) <= threshold.
+    Returns (keep_mask (N,), reasons dict of per-gate masks).
+    """
+    uvp0, z0, front0 = project_points(X_w, T0_cw, K)
+    uvp1, z1, front1 = project_points(X_w, T1_cw, K)
+    e0 = jnp.linalg.norm(uvp0 - uv0, axis=-1)
+    e1 = jnp.linalg.norm(uvp1 - uv1, axis=-1)
+    par = parallax_deg_world(X_w, T0_cw, T1_cw)
+
+    g_par = par >= min_parallax_deg
+    g_depth = ((z0 >= min_depth) & (z0 <= max_depth)
+               & (z1 >= min_depth) & (z1 <= max_depth))
+    g_cheir = front0 & front1
+    g_reproj = jnp.maximum(e0, e1) <= max_reproj_px
+    keep = g_par & g_depth & g_cheir & g_reproj
+    return keep, {"parallax": g_par, "depth": g_depth,
+                  "cheirality": g_cheir, "reproj": g_reproj}
+
+
+# --------------------------------------------------------------------------- #
+# Resurrected multi-view API (contract from the reference's stale tests)
+# --------------------------------------------------------------------------- #
+
+def multi_view_triangulation(K, poses_w_c, pts2d, *,
+                             min_depth: float = 0.0,
+                             max_depth: float = float("inf"),
+                             max_rep_err: float = float("inf")):
+    """N-view DLT with depth & mean-reprojection gating.
+
+    Contract per reference tests (test_multi_view_triangulation-minimal.py:
+    14-73): ``poses_w_c`` are CAMERA-TO-WORLD 4x4 poses (note: opposite of
+    the pipeline's T_cw storage), pts2d is (V, 2) pixels for one track.
+    Returns the world point (3,) or ``None`` when any gate fails.
+    Accuracy: sub-mm noise-free, <5 cm RMS at 0.4 px noise over 5 views.
+    """
+    K = jnp.asarray(K, jnp.float64 if False else jnp.float32)
+    poses_w_c = jnp.asarray(np.stack([np.asarray(p) for p in poses_w_c]),
+                            jnp.float32)
+    uvs = jnp.asarray(pts2d, jnp.float32)
+    if uvs.shape[0] < 2:
+        return None
+    T_cw = se3.T_inverse(poses_w_c)                       # (V,4,4)
+    Ps = projection_matrix(K, T_cw)
+    X = triangulate_n_view(Ps, uvs)
+
+    uvp, z, front = project_points(X[None, :], T_cw, K)   # (V,1,2),(V,1)
+    errs = jnp.linalg.norm(uvp[:, 0, :] - uvs, axis=-1)
+    z = z[:, 0]
+    ok = bool(jnp.all(z > min_depth) & jnp.all(z < max_depth)
+              & jnp.all(jnp.asarray(front))
+              & (jnp.mean(errs) <= max_rep_err)
+              & jnp.all(jnp.isfinite(X)))
+    return np.asarray(X, np.float64) if ok else None
+
+
+class MultiViewTriangulator:
+    """Incremental multi-view triangulation over tracked keypoints.
+
+    Resurrects the deleted ``slam.core.multi_view_utils.MultiViewTriangulator``
+    whose contract survives in reference tests (test_multi_view_utils.py:
+    152-190): feed keyframes with per-keypoint track ids via
+    :meth:`add_keyframe`; :meth:`triangulate_ready_tracks` triangulates every
+    track observed in >= ``min_views`` keyframes, inserts the survivors into
+    the provided Map (with per-view observations + colour sampled from the
+    keyframe image), and returns the new landmark ids.
+    """
+
+    def __init__(self, K, *, min_views: int = 2, merge_radius: float = 0.1,
+                 max_rep_err: float = 2.0, min_depth: float = 0.0,
+                 max_depth: float = float("inf")):
+        self.K = np.asarray(K, np.float64)
+        self.min_views = int(min_views)
+        self.merge_radius = float(merge_radius)
+        self.max_rep_err = float(max_rep_err)
+        self.min_depth = float(min_depth)
+        self.max_depth = float(max_depth)
+        self._tracks: dict[int, list] = {}   # tid -> [(frame, uv, desc, colour)]
+        self._poses_w_c: dict[int, np.ndarray] = {}
+        self._done: set[int] = set()
+
+    def add_keyframe(self, frame_idx: int, pose_w_c: np.ndarray,
+                     keypoints: Sequence, track_map: dict, image: np.ndarray,
+                     descriptors: Sequence) -> None:
+        """Register a keyframe. ``track_map`` maps kp index -> track id.
+        ``keypoints`` may be (N,2) arrays or objects with ``.pt``."""
+        self._poses_w_c[frame_idx] = np.asarray(pose_w_c, np.float64)
+        H = image.shape[0] if image is not None else 0
+        W = image.shape[1] if image is not None else 0
+        for kp_idx, tid in track_map.items():
+            kp = keypoints[kp_idx]
+            uv = np.asarray(kp.pt if hasattr(kp, "pt") else kp, np.float64)
+            colour = np.ones(3, np.float32)
+            if image is not None and 0 <= int(uv[1]) < H and 0 <= int(uv[0]) < W:
+                px = image[int(uv[1]), int(uv[0])]
+                if np.ndim(px) == 0:
+                    colour = np.float32([px, px, px]) / 255.0
+                else:
+                    colour = px[::-1].astype(np.float32) / 255.0  # BGR->RGB
+            desc = descriptors[kp_idx] if descriptors is not None else None
+            self._tracks.setdefault(int(tid), []).append(
+                (int(frame_idx), uv, desc, colour, int(kp_idx)))
+
+    def triangulate_ready_tracks(self, world_map) -> List[int]:
+        """Triangulate all tracks with >= min_views observations; insert into
+        ``world_map``; return new landmark ids."""
+        ready = [tid for tid, obs in self._tracks.items()
+                 if tid not in self._done and len(obs) >= self.min_views]
+        if not ready:
+            return []
+
+        new_ids: List[int] = []
+        # batch: pad all ready tracks to the max view count
+        for tid in ready:
+            obs = self._tracks[tid]
+            poses = [self._poses_w_c[f] for f, *_ in obs]
+            uvs = np.stack([o[1] for o in obs])
+            X = multi_view_triangulation(
+                self.K, poses, uvs, min_depth=self.min_depth,
+                max_depth=self.max_depth, max_rep_err=self.max_rep_err)
+            if X is None:
+                continue
+            colour = np.mean(np.stack([o[3] for o in obs]), axis=0)
+            (pid,) = world_map.add_points(X[None, :], colour[None, :],
+                                          keyframe_idx=obs[0][0])
+            for f, _uv, desc, _c, kp_idx in obs:
+                if desc is not None:
+                    world_map.points[pid].add_observation(f, kp_idx, desc)
+            new_ids.append(pid)
+            self._done.add(tid)
+
+        if self.merge_radius > 0 and len(world_map) > 1:
+            world_map.fuse_closeby_duplicate_landmarks(self.merge_radius)
+        return new_ids
