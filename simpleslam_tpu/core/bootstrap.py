@@ -146,7 +146,13 @@ def evaluate_two_view_jit(key: jax.Array, p0: jax.Array, p1: jax.Array,
         lambda R, t: _triangulation_metrics(R, t, p0n, p1n, valid))(Rs, ts_unit)
 
     # --- F branch: E + recoverPose + metrics over recovered inliers ---
-    E = epipolar.essential_from_fundamental(F, K)
+    # The reference lifts E = K^T F K directly (two_view_bootstrap.py:206);
+    # a linear-F-derived E is noticeably biased under near-forward motion, so
+    # we re-fit on the F-inliers directly on the essential manifold and
+    # polish with a Sampson Gauss-Newton pass (matches cv2's 5-point quality).
+    wF = (maskF & valid).astype(p0.dtype)
+    E_fit = epipolar.fit_essential(p0n, p1n, wF)
+    E = epipolar.refine_essential_sampson(E_fit, p0n, p1n, wF)
     R_F, t_F, cheir_mask, n_cheir = epipolar.recover_pose_essential(
         E, p0, p1, valid, K)
     pdF, parF = _triangulation_metrics(R_F, t_F, p0n, p1n, cheir_mask)

@@ -248,12 +248,85 @@ def find_essential(key: jax.Array, p0: jax.Array, p1: jax.Array,
     better = jnp.sum(inl2) >= jnp.sum(inl)
     E = jnp.where(better, E2, E)
     inl = jnp.where(better, inl2, inl)
+    # nonlinear Sampson polish on the (R, t) manifold — brings the 8-point
+    # linear estimate to 5-point-solver quality
+    E3 = refine_essential_sampson(E, p0n, p1n, inl.astype(p0.dtype))
+    r3 = sampson_error_sq(E3, p0n, p1n)
+    inl3 = (r3 < thresh_sq) & valid
+    better3 = jnp.sum(inl3) >= jnp.sum(inl)
+    E = jnp.where(better3, E3, E)
+    inl = jnp.where(better3, inl3, inl)
     return E, inl, ok & (jnp.sum(inl) >= 8)
 
 
 def essential_from_fundamental(F: jax.Array, K: jax.Array) -> jax.Array:
     """E = K^T F K (reference: two_view_bootstrap.py:206)."""
     return K.T @ F @ K
+
+
+@highest_precision
+def refine_essential_sampson(E: jax.Array, p0n: jax.Array, p1n: jax.Array,
+                             w: jax.Array, iters: int = 10) -> jax.Array:
+    """Gauss-Newton refinement of an essential matrix on its 5-dof manifold
+    (R in SO(3), t on the unit sphere), minimizing Sampson error over the
+    weighted correspondences. Closes most of the accuracy gap between the
+    8-point linear fit and a 5-point minimal solver + polish (the quality
+    cv2.findEssentialMat delivers).
+    """
+    # initialize (R, t) from E by the cheirality vote on the weighted points
+    R1, R2, t0 = decompose_essential(E)
+
+    def cheir_count(R, t):
+        eye34 = jnp.concatenate([jnp.eye(3, dtype=E.dtype),
+                                 jnp.zeros((3, 1), E.dtype)], axis=1)
+        P2 = jnp.concatenate([R, t[:, None]], axis=1)
+        X = triangulate_two_view(eye34, P2, p0n, p1n)
+        z0 = X[:, 2]
+        z1 = (X @ R.T + t)[:, 2]
+        return jnp.sum(((z0 > 0) & (z1 > 0)).astype(jnp.float32) * w)
+
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t0, -t0, t0, -t0])
+    counts = jax.vmap(cheir_count)(Rs, ts)
+    best = jnp.argmax(counts)
+    R = Rs[best]
+    t = ts[best]
+
+    def gn_step(_, carry):
+        R_cur, t_cur = carry
+
+        def res(params):
+            w_rot, a, b = params[:3], params[3], params[4]
+            Rc = se3.so3_exp(w_rot) @ R_cur
+            e = jnp.where(jnp.abs(t_cur[0]) < 0.9,
+                          jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+            b1 = jnp.cross(t_cur, e)
+            b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), _EPS)
+            b2 = jnp.cross(t_cur, b1)
+            tc = t_cur + a * b1 + b * b2
+            tc = tc / jnp.maximum(jnp.linalg.norm(tc), _EPS)
+            Ec = se3.hat(tc) @ Rc
+            return jnp.sqrt(sampson_error_sq(Ec, p0n, p1n) + 1e-12) * w
+
+        p0_ = jnp.zeros(5)
+        J = jax.jacfwd(res)(p0_)                 # (N, 5)
+        r = res(p0_)
+        H = J.T @ J + 1e-8 * jnp.eye(5)
+        dp = -jnp.linalg.solve(H, J.T @ r)
+        better = jnp.sum(res(dp) ** 2) < jnp.sum(r ** 2)
+        dp = jnp.where(better, dp, 0.0)
+        R_new = se3.so3_exp(dp[:3]) @ R_cur
+        e = jnp.where(jnp.abs(t_cur[0]) < 0.9,
+                      jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+        b1 = jnp.cross(t_cur, e)
+        b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), _EPS)
+        b2 = jnp.cross(t_cur, b1)
+        t_new = t_cur + dp[3] * b1 + dp[4] * b2
+        t_new = t_new / jnp.maximum(jnp.linalg.norm(t_new), _EPS)
+        return R_new, t_new
+
+    R, t = jax.lax.fori_loop(0, iters, gn_step, (R, t))
+    return se3.hat(t) @ R
 
 
 # --------------------------------------------------------------------------- #

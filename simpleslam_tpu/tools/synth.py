@@ -1,0 +1,170 @@
+"""Synthetic KITTI-format sequence generator.
+
+No real datasets ship with this machine, so benchmarks, end-to-end tests and
+the verify flow drive the pipeline on generated sequences: a raycast textured
+corridor (ground plane + two walls, procedurally 3-D-textured) rendered along
+a smooth KITTI-like trajectory (forward motion + gentle yaw), written in the
+exact KITTI odometry layout the dataloader expects
+(``<base>/kitti/05/image_0/%06d.png`` + ``<base>/kitti/poses/05.txt`` —
+reference dataloader.py:32-34,224-226).
+
+The texture is a fixed sum of random 3-D sinusoids evaluated at the ray-plane
+hit points, so appearance is geometrically consistent across views — real
+parallax, stable descriptors, exactly what a feature-based VO needs.
+Rendering is fully vectorized numpy (one H x W ray grid per frame).
+
+CLI: python -m simpleslam_tpu.tools.synth --out /tmp/synthkitti --frames 100
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Tuple
+
+import numpy as np
+
+DEFAULT_K = np.array([[707.0912, 0.0, 601.8873],
+                      [0.0, 707.0912, 183.1104],
+                      [0.0, 0.0, 1.0]])
+DEFAULT_HW = (370, 1226)      # KITTI grayscale camera resolution
+
+
+def make_trajectory(n_frames: int, speed: float = 0.5,
+                    yaw_rate_deg: float = 0.25) -> np.ndarray:
+    """(N,4,4) T_wc camera-to-world poses: forward motion with gentle yaw."""
+    out = [np.eye(4)]
+    yaw = 0.0
+    pos = np.zeros(3)
+    for _ in range(n_frames - 1):
+        yaw += np.radians(yaw_rate_deg)
+        R = np.array([[np.cos(yaw), 0, np.sin(yaw)],
+                      [0, 1, 0],
+                      [-np.sin(yaw), 0, np.cos(yaw)]])
+        pos = pos + R @ np.array([0.0, 0.0, speed])
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        out.append(T)
+    return np.stack(out)
+
+
+class ProceduralTexture:
+    """Fixed random sum-of-sinusoids over R^3 -> [0, 255] intensity."""
+
+    def __init__(self, seed: int = 0, n_waves: int = 48):
+        rng = np.random.default_rng(seed)
+        d = rng.normal(size=(n_waves, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        # mixture of coarse and fine spatial frequencies (cycles/meter)
+        freqs = np.concatenate([rng.uniform(0.3, 1.5, n_waves // 2),
+                                rng.uniform(2.0, 8.0, n_waves - n_waves // 2)])
+        self.k = d * freqs[:, None] * 2 * np.pi
+        self.phase = rng.uniform(0, 2 * np.pi, n_waves)
+        amps = 1.0 / np.sqrt(freqs)
+        self.amp = amps / amps.sum()
+
+    def __call__(self, p: np.ndarray) -> np.ndarray:
+        """p: (..., 3) world points -> (...,) intensity [0, 255]."""
+        v = np.tensordot(p, self.k.T, axes=1) + self.phase   # (..., W)
+        s = (np.sin(v) * self.amp).sum(-1)                    # ~[-1, 1]
+        return (127.5 + 120.0 * np.clip(s * 2.2, -1, 1)).astype(np.float32)
+
+
+class CorridorScene:
+    """Ground plane + two walls + far wall, textured; raycast renderer."""
+
+    def __init__(self, seed: int = 0, ground_y: float = 1.6,
+                 wall_x: float = 10.0, hw: Tuple[int, int] = DEFAULT_HW,
+                 K: np.ndarray = DEFAULT_K):
+        self.tex = ProceduralTexture(seed)
+        self.ground_y = ground_y
+        self.wall_x = wall_x
+        self.hw = hw
+        self.K = K
+        H, W = hw
+        u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                           np.arange(H, dtype=np.float64))
+        Kinv = np.linalg.inv(K)
+        rays = np.stack([u, v, np.ones_like(u)], -1) @ Kinv.T  # cam-frame dirs
+        self._rays_cam = rays / np.linalg.norm(rays, axis=-1, keepdims=True)
+
+    def render(self, T_wc: np.ndarray) -> np.ndarray:
+        H, W = self.hw
+        Rwc = T_wc[:3, :3]
+        C = T_wc[:3, 3]
+        d = self._rays_cam @ Rwc.T                # (H, W, 3) world dirs
+        eps = 1e-9
+
+        t_best = np.full((H, W), np.inf)
+        hit = np.zeros((H, W, 3))
+
+        def plane(axis: int, value: float, sign_cond):
+            nonlocal t_best, hit
+            denom = d[..., axis]
+            t = (value - C[axis]) / np.where(np.abs(denom) < eps, eps, denom)
+            ok = (t > 0.2) & sign_cond(denom) & (t < t_best)
+            p = C[None, None, :] + t[..., None] * d
+            t_best = np.where(ok, t, t_best)
+            hit = np.where(ok[..., None], p, hit)
+
+        plane(1, self.ground_y, lambda dn: dn > 0)               # ground below
+        plane(0, C[0] + self.wall_x, lambda dn: dn > 0)          # right wall
+        plane(0, C[0] - self.wall_x, lambda dn: dn < 0)          # left wall
+        # far "sky wall" so upward rays still see texture (moves with camera,
+        # providing distant low-parallax structure like a skyline)
+        fwd = Rwc[:, 2]
+        tz = 120.0 / np.maximum(d @ fwd, 0.05)
+        okz = ~np.isfinite(t_best) | (t_best > 119.0)
+        pz = C[None, None, :] + tz[..., None] * d
+        hit = np.where((okz & np.isfinite(tz))[..., None], pz, hit)
+        t_best = np.where(okz, tz, t_best)
+
+        img = self.tex(hit)
+        # mild distance shading for realism
+        shade = 1.0 / (1.0 + 0.004 * np.clip(t_best, 0, 200))
+        return np.clip(img * shade, 0, 255).astype(np.uint8)
+
+
+def generate_kitti_sequence(out_dir: str, n_frames: int = 60, seed: int = 0,
+                            hw: Tuple[int, int] = DEFAULT_HW,
+                            speed: float = 0.5,
+                            yaw_rate_deg: float = 0.25,
+                            n_points: int = 0) -> str:
+    """Write a KITTI-layout synthetic sequence; returns the base_dir to pass
+    as ``--base_dir`` with ``--dataset kitti``. (``n_points`` accepted for
+    backward compatibility; the raycast scene has continuous texture.)"""
+    import cv2
+
+    T_wc = make_trajectory(n_frames, speed=speed, yaw_rate_deg=yaw_rate_deg)
+    scene = CorridorScene(seed=seed, hw=hw)
+
+    img_dir = os.path.join(out_dir, "kitti", "05", "image_0")
+    pose_dir = os.path.join(out_dir, "kitti", "poses")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(pose_dir, exist_ok=True)
+
+    for i in range(n_frames):
+        cv2.imwrite(os.path.join(img_dir, f"{i:06d}.png"),
+                    scene.render(T_wc[i]))
+    np.savetxt(os.path.join(pose_dir, "05.txt"),
+               T_wc[:, :3, :4].reshape(n_frames, 12))
+    return out_dir
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("synth")
+    p.add_argument("--out", required=True)
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--speed", type=float, default=0.5)
+    p.add_argument("--yaw_rate_deg", type=float, default=0.25)
+    a = p.parse_args(argv)
+    base = generate_kitti_sequence(a.out, a.frames, a.seed, speed=a.speed,
+                                   yaw_rate_deg=a.yaw_rate_deg)
+    print(f"synthetic KITTI sequence at {base} "
+          f"(use --dataset kitti --base_dir {base})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
