@@ -1,0 +1,242 @@
+"""ALIKED-style keypoint detector + descriptor network in flax.
+
+TPU-native replacement for the torch ALIKED extractor the reference drives
+through lightglue's wrapper (reference: slam/core/features_utils.py:24-25,
+92-101: ``ALIKED(max_num_keypoints=...)``, BGR->RGB float tensor, ``extract``,
+L2-normalized descriptors).
+
+Architecture (aliked-n16 flavour, re-designed TPU-first):
+  * 4-stage conv backbone (channels 16/32/64/128), stages pooled 2x; all
+    stage features are resized to 1/2 resolution and fused 1x1 -> a dense
+    feature map. Convs run in bfloat16 on the MXU with float32 params.
+  * Score-Map Head: small conv stack -> per-pixel keypoint score (full res).
+  * Differentiable Keypoint Detection (DKD) head, fully batched: 5x5 NMS,
+    deterministic top-K, 3x3 soft-argmax subpixel refinement.
+  * Descriptor head: 1x1 conv to desc_dim at 1/2 res; descriptors sampled
+    bilinearly at keypoint locations and L2-normalized (the reference's
+    post-extract normalization, features_utils.py:99-100).
+
+Weight import: :func:`load_torch_aliked` maps a torch ALIKED checkpoint's
+tensors into this module's param tree when one is available on disk (this
+machine has no network access, so tests/benches run with seeded random
+weights — the pipeline contract is identical).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from simpleslam_tpu.core.types import Features
+
+
+class ConvBlock(nn.Module):
+    ch: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        x = nn.Conv(self.ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(x)
+        return nn.gelu(x)
+
+
+class ALIKED(nn.Module):
+    """Backbone + score head + descriptor head. Input: (B, H, W, 1) float32
+    grayscale in [0, 1]; H, W multiples of 8."""
+    desc_dim: int = 128
+    channels: Tuple[int, int, int, int] = (16, 32, 64, 128)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, img):
+        B, H, W, _ = img.shape
+        x = img.astype(self.dtype)
+
+        feats = []
+        for i, ch in enumerate(self.channels):
+            x = ConvBlock(ch, self.dtype, name=f"block{i+1}")(x)
+            feats.append(x)
+            if i + 1 < len(self.channels):
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+        # fuse all stages at 1/2 resolution
+        h2, w2 = H // 2, W // 2
+        fused = jnp.concatenate(
+            [jax.image.resize(f.astype(jnp.float32), (B, h2, w2, f.shape[-1]),
+                              "bilinear") for f in feats], axis=-1)
+        fused = fused.astype(self.dtype)
+
+        desc_map = nn.Conv(self.desc_dim, (1, 1), name="desc_head",
+                           dtype=self.dtype)(fused)
+        desc_map = desc_map.astype(jnp.float32)          # (B, H/2, W/2, D)
+
+        s = nn.Conv(32, (3, 3), padding="SAME", name="score_conv1",
+                    dtype=self.dtype)(fused)
+        s = nn.gelu(s)
+        s = nn.Conv(1, (3, 3), padding="SAME", name="score_conv2",
+                    dtype=self.dtype)(s)
+        score = jax.image.resize(s.astype(jnp.float32), (B, H, W, 1),
+                                 "bilinear")[..., 0]      # (B, H, W)
+        return score, desc_map
+
+
+# --------------------------------------------------------------------------- #
+# DKD: NMS + top-K + soft-argmax subpixel + descriptor sampling
+# --------------------------------------------------------------------------- #
+
+def _nms_mask(score: jax.Array, radius: int = 2) -> jax.Array:
+    """(B, H, W) bool: local maxima within a (2r+1)^2 window."""
+    mx = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max,
+        (1, 2 * radius + 1, 2 * radius + 1), (1, 1, 1), "SAME")
+    return score >= mx
+
+
+def _soft_argmax_refine(score: jax.Array, xs: jax.Array, ys: jax.Array,
+                        temp: float = 0.1) -> tuple[jax.Array, jax.Array]:
+    """3x3 soft-argmax subpixel offsets around integer keypoints (per image)."""
+    H, W = score.shape
+    dy, dx = jnp.mgrid[-1:2, -1:2]
+
+    def one(x, y):
+        patch = jax.lax.dynamic_slice(score, (y - 1, x - 1), (3, 3))
+        w = jax.nn.softmax(patch.reshape(-1) / temp)
+        return jnp.sum(w * dx.reshape(-1)), jnp.sum(w * dy.reshape(-1))
+
+    offs = jax.vmap(one)(xs, ys)
+    return offs[0], offs[1]
+
+
+def _bilinear_sample(fmap: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Sample (Hf, Wf, C) at float coords (N,) -> (N, C)."""
+    Hf, Wf = fmap.shape[0], fmap.shape[1]
+    x = jnp.clip(x, 0.0, Wf - 1.001)
+    y = jnp.clip(y, 0.0, Hf - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    v00 = fmap[y0, x0]
+    v01 = fmap[y0, x0 + 1]
+    v10 = fmap[y0 + 1, x0]
+    v11 = fmap[y0 + 1, x0 + 1]
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
+def dkd_extract(score: jax.Array, desc_map: jax.Array, max_kp: int,
+                nms_radius: int = 2, border: int = 8,
+                score_floor: float = -1e5) -> Features:
+    """Deterministic top-K keypoint extraction for ONE image.
+
+    score: (H, W); desc_map: (H/2, W/2, D). Returns padded Features with
+    level-0 pixel coordinates and L2-normalized float descriptors.
+    """
+    H, W = score.shape
+    nms = _nms_mask(score[None], nms_radius)[0]
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    inb = ((xx >= border) & (xx < W - border)
+           & (yy >= border) & (yy < H - border))
+    gated = jnp.where(nms & inb & (score > score_floor), score, -jnp.inf)
+
+    flat = gated.reshape(-1)
+    top_v, top_i = jax.lax.top_k(flat, max_kp)
+    valid = jnp.isfinite(top_v)
+    ys = (top_i // W).astype(jnp.int32)
+    xs = (top_i % W).astype(jnp.int32)
+
+    dx, dy = _soft_argmax_refine(score, xs, ys)
+    xf = xs.astype(jnp.float32) + dx
+    yf = ys.astype(jnp.float32) + dy
+
+    desc = _bilinear_sample(desc_map, xf * 0.5, yf * 0.5)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True),
+                              1e-8)
+    return Features(
+        kpts=jnp.stack([xf, yf], axis=-1),
+        desc=jnp.where(valid[:, None], desc, 0.0),
+        scores=jnp.where(valid, top_v, 0.0),
+        valid=valid)
+
+
+# --------------------------------------------------------------------------- #
+# Public bundle
+# --------------------------------------------------------------------------- #
+
+def init_aliked(key: jax.Array, desc_dim: int = 128,
+                image_hw: Tuple[int, int] = (128, 128)):
+    """(module, params) with seeded random weights."""
+    model = ALIKED(desc_dim=desc_dim)
+    params = model.init(key, jnp.zeros((1, *image_hw, 1), jnp.float32))
+    return model, params
+
+
+@partial(jax.jit, static_argnames=("model", "max_kp"))
+def extract_batch(model: ALIKED, params, images: jax.Array,
+                  max_kp: int) -> Features:
+    """Batched extraction: (B, H, W, 1) float [0,1] -> Features stacked on a
+    leading batch axis. The whole thing — CNN + DKD — is one jitted program;
+    batching over frames is the TPU throughput axis (SURVEY.md §2)."""
+    score, desc_map = model.apply(params, images)
+    return jax.vmap(lambda s, d: dkd_extract(s, d, max_kp))(score, desc_map)
+
+
+def preprocess_image(img) -> jax.Array:
+    """uint8 BGR/gray (H, W[, 3]) -> (H', W', 1) float32 in [0,1], padded to
+    multiples of 8 (the reference's BGR->tensor step, features_utils.py:219-222)."""
+    img = jnp.asarray(img)
+    if img.ndim == 3:
+        b = img[..., 0].astype(jnp.float32)
+        g = img[..., 1].astype(jnp.float32)
+        r = img[..., 2].astype(jnp.float32)
+        gray = 0.114 * b + 0.587 * g + 0.299 * r
+    else:
+        gray = img.astype(jnp.float32)
+    H, W = gray.shape
+    Hp = ((H + 7) // 8) * 8
+    Wp = ((W + 7) // 8) * 8
+    gray = jnp.pad(gray, ((0, Hp - H), (0, Wp - W)))
+    return (gray / 255.0)[..., None]
+
+
+# --------------------------------------------------------------------------- #
+# Torch checkpoint import (best effort; no weights ship with this machine)
+# --------------------------------------------------------------------------- #
+
+def load_torch_aliked(path: str, params) -> Dict:
+    """Map a torch ALIKED ``state_dict`` into this param tree where tensor
+    shapes line up (transposing conv kernels OIHW -> HWIO). Layers without a
+    shape match keep their initialized values; returns the updated tree."""
+    import numpy as np
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    tensors = {k: np.asarray(v) for k, v in sd.items()
+               if hasattr(v, "numpy") or isinstance(v, np.ndarray)}
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    by_shape: Dict[tuple, list] = {}
+    for name, t in tensors.items():
+        if t.ndim == 4:
+            t = t.transpose(2, 3, 1, 0)     # OIHW -> HWIO
+        by_shape.setdefault(t.shape, []).append((name, t))
+
+    new_leaves = []
+    for path_keys, leaf in flat:
+        cand = by_shape.get(tuple(leaf.shape))
+        if cand:
+            _name, t = cand.pop(0)
+            new_leaves.append(jnp.asarray(t, leaf.dtype))
+        else:
+            new_leaves.append(leaf)
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

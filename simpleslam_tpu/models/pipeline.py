@@ -1,0 +1,79 @@
+"""Learned front-end wiring: ALIKED extraction + LightGlue matching behind
+the frontend facade (reference: features_utils.py's lightglue code path).
+
+Weights: seeded random by default (no network access on this machine); set
+``SLAM_ALIKED_WEIGHTS`` / ``SLAM_LIGHTGLUE_WEIGHTS`` to torch checkpoint paths
+or orbax directories to load real ones.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpleslam_tpu.core.types import Features, Matches
+from simpleslam_tpu.models import aliked as aliked_mod
+from simpleslam_tpu.models import lightglue as lg_mod
+
+DESC_DIM = 128
+
+
+class LearnedExtractor:
+    """ALIKED bundle satisfying the frontend Detector protocol."""
+
+    def __init__(self, max_kp: int, seed: int = 0, desc_dim: int = DESC_DIM):
+        self.name = "aliked"
+        self.max_kp = max_kp
+        self.learned = True
+        self.desc_dim = desc_dim
+        self.model, self.params = aliked_mod.init_aliked(
+            jax.random.PRNGKey(seed), desc_dim=desc_dim)
+        ckpt = os.environ.get("SLAM_ALIKED_WEIGHTS")
+        if ckpt and os.path.exists(ckpt):
+            self.params = aliked_mod.load_torch_aliked(ckpt, self.params)
+        self.image_hw: Optional[Tuple[int, int]] = None
+
+    def fn(self, gray: jax.Array) -> Features:
+        """(H, W) float gray [0..255] -> padded Features."""
+        img = aliked_mod.preprocess_image(gray)
+        self.image_hw = gray.shape[:2]
+        feats = aliked_mod.extract_batch(self.model, self.params,
+                                         img[None], self.max_kp)
+        return jax.tree.map(lambda x: x[0], feats)
+
+    def extract_batch(self, images: jax.Array) -> Features:
+        """(B, H, W, 1) float [0,1] -> batched Features (throughput mode)."""
+        return aliked_mod.extract_batch(self.model, self.params, images,
+                                        self.max_kp)
+
+
+class LearnedMatcher:
+    """LightGlue bundle satisfying the frontend Matcher protocol."""
+
+    def __init__(self, extractor: LearnedExtractor, min_conf: float = 0.7,
+                 seed: int = 1, n_layers: int = 9):
+        self.name = "lightglue"
+        self.learned = True
+        self.min_conf = float(min_conf)
+        self.extractor = extractor
+        self.model, self.params = lg_mod.init_lightglue(
+            jax.random.PRNGKey(seed), desc_dim=extractor.desc_dim,
+            n_kp=min(extractor.max_kp, 64), n_layers=n_layers)
+
+    def fn(self, feats0: Features, feats1: Features) -> Matches:
+        hw = self.extractor.image_hw or (480, 640)
+        return lg_mod.match_pair(self.model, self.params, feats0, feats1,
+                                 (int(hw[0]), int(hw[1])), self.min_conf)
+
+
+def build_learned_extractor(args, n_pad: int) -> LearnedExtractor:
+    return LearnedExtractor(max_kp=n_pad, seed=int(getattr(args, "seed", 0)))
+
+
+def build_learned_matcher(args, extractor: LearnedExtractor) -> LearnedMatcher:
+    return LearnedMatcher(extractor,
+                          min_conf=float(getattr(args, "min_conf", 0.7)),
+                          seed=int(getattr(args, "seed", 0)) + 1)

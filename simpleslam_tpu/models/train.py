@@ -1,0 +1,239 @@
+"""Self-supervised training for the learned front-end (ALIKED + LightGlue).
+
+The reference consumes pretrained torch checkpoints; this machine has no
+network access, so the TPU build ships the full training loop instead:
+synthetic homography pairs (procedural texture images warped by random
+homographies give exact dense ground-truth correspondences) drive
+
+  * a descriptor InfoNCE loss at corresponding points (ALIKED desc head),
+  * a score-map repeatability loss (score of view 1 warped into view 0),
+  * an assignment negative-log-likelihood on the LightGlue double-softmax
+    at the ground-truth correspondence permutation, plus matchability
+    supervision for out-of-view points.
+
+``train_step`` is one jitted program over the joint parameter tree;
+``shard_train_step`` runs it under a (dp, tp) mesh: batch sharded over dp,
+the transformer's hidden dimension sharded over tp (XLA inserts the
+all-reduces over ICI) — the multi-chip training path validated by
+``__graft_entry__.dryrun_multichip``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from simpleslam_tpu.models import aliked as aliked_mod
+from simpleslam_tpu.models import lightglue as lg_mod
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]
+    opt_state: Any
+    step: jax.Array
+
+
+def make_models(key, desc_dim: int = 64, n_kp: int = 64, dim: int = 128,
+                n_layers: int = 3, image_hw=(64, 64)):
+    k1, k2 = jax.random.split(key)
+    a_model, a_params = aliked_mod.init_aliked(k1, desc_dim=desc_dim,
+                                               image_hw=image_hw)
+    l_model, l_params = lg_mod.init_lightglue(k2, desc_dim=desc_dim,
+                                              n_kp=n_kp, dim=dim,
+                                              heads=4, n_layers=n_layers)
+    return a_model, l_model, {"aliked": a_params, "lightglue": l_params}
+
+
+def make_train_state(key, lr: float = 1e-4, **model_kw):
+    a_model, l_model, params = make_models(key, **model_kw)
+    tx = optax.adamw(lr)
+    return (a_model, l_model, tx,
+            TrainState(params, tx.init(params), jnp.int32(0)))
+
+
+# --------------------------------------------------------------------------- #
+# Synthetic homography pair batches
+# --------------------------------------------------------------------------- #
+
+def _smooth_noise(key, B, H, W, octaves=(4, 8, 16)):
+    imgs = jnp.zeros((B, H, W))
+    for i, o in enumerate(octaves):
+        key, k = jax.random.split(key)
+        coarse = jax.random.uniform(k, (B, H // o + 2, W // o + 2))
+        up = jax.image.resize(coarse, (B, H, W), "bicubic")
+        imgs = imgs + up / (i + 1)
+    lo = imgs.min(axis=(1, 2), keepdims=True)
+    hi = imgs.max(axis=(1, 2), keepdims=True)
+    return (imgs - lo) / jnp.maximum(hi - lo, 1e-6)
+
+
+def _random_homography(key, H, W, mag: float = 0.12):
+    """Random perturbation homography mapping view0 pixel coords -> view1."""
+    k1, k2 = jax.random.split(key)
+    # perturb the 4 corners
+    corners0 = jnp.array([[0.0, 0], [W - 1.0, 0], [0, H - 1.0],
+                          [W - 1.0, H - 1.0]])
+    jitter = jax.random.uniform(k1, (4, 2), minval=-mag, maxval=mag)
+    corners1 = corners0 + jitter * jnp.array([W, H])
+    # DLT for the 4-point homography
+    from simpleslam_tpu.ops.epipolar import fit_homography
+    return fit_homography(corners0.astype(jnp.float32),
+                          corners1.astype(jnp.float32))
+
+
+def _warp_points(Hm, pts):
+    ph = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+    q = ph @ Hm.T
+    return q[..., :2] / jnp.maximum(jnp.abs(q[..., 2:3]), 1e-9) * jnp.sign(q[..., 2:3])
+
+
+def _warp_image(img, Hm_inv):
+    """Sample img at H^-1(dest coords) -> warped image (bilinear)."""
+    H, W = img.shape
+    yy, xx = jnp.mgrid[0:H, 0:W].astype(jnp.float32)
+    dst = jnp.stack([xx, yy], -1).reshape(-1, 2)
+    src = _warp_points(Hm_inv, dst)
+    x = jnp.clip(src[:, 0], 0, W - 1.001)
+    y = jnp.clip(src[:, 1], 0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx, fy = x - x0, y - y0
+    v = (img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, x0 + 1] * fx * (1 - fy)
+         + img[y0 + 1, x0] * (1 - fx) * fy + img[y0 + 1, x0 + 1] * fx * fy)
+    return v.reshape(H, W)
+
+
+@partial(jax.jit, static_argnames=("B", "H", "W", "G"))
+def synthetic_pair_batch(key, B: int, H: int, W: int, G: int):
+    """Batch of correspondence-labelled homography pairs.
+
+    Returns dict: img0/img1 (B,H,W,1) in [0,1], pts0/pts1 (B,G,2) pixel
+    correspondences, pt_valid (B,G), Hmats (B,3,3).
+    """
+    keys = jax.random.split(key, 4)
+    img0 = _smooth_noise(keys[0], B, H, W)
+    Hmats = jax.vmap(lambda k: _random_homography(k, H, W))(
+        jax.random.split(keys[1], B))
+    Hinv = jnp.linalg.inv(Hmats)
+    img1 = jax.vmap(_warp_image)(img0, Hmats)   # img1(x) = img0(H^-1 x)? see note
+
+    # note: warp_image samples img at Hm_inv(dest): passing Hmats means
+    # img1(dest) = img0(H(dest)) i.e. correspondence x0 = H(x1);
+    # so pts1 -> pts0 via H. We generate pts1 on a margin grid and map back.
+    m = 6
+    pts1 = jnp.stack([
+        jax.random.uniform(keys[2], (B, G), minval=m, maxval=W - m),
+        jax.random.uniform(keys[3], (B, G), minval=m, maxval=H - m)], -1)
+    pts0 = jax.vmap(_warp_points)(Hmats, pts1)
+    valid = ((pts0[..., 0] >= m) & (pts0[..., 0] < W - m)
+             & (pts0[..., 1] >= m) & (pts0[..., 1] < H - m))
+    return dict(img0=img0[..., None], img1=img1[..., None],
+                pts0=pts0, pts1=pts1, pt_valid=valid, Hmats=Hmats)
+
+
+# --------------------------------------------------------------------------- #
+# Loss
+# --------------------------------------------------------------------------- #
+
+def _sample_many(desc_map, pts):
+    """(Hf,Wf,D) at half-res; pts are full-res pixels -> (G, D) normalized."""
+    d = aliked_mod._bilinear_sample(desc_map, pts[:, 0] * 0.5, pts[:, 1] * 0.5)
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+
+
+def loss_fn(params, a_model, l_model, batch, image_hw):
+    score0, dmap0 = a_model.apply(params["aliked"], batch["img0"])
+    score1, dmap1 = a_model.apply(params["aliked"], batch["img1"])
+
+    pts0, pts1 = batch["pts0"], batch["pts1"]
+    pv = batch["pt_valid"]
+
+    d0 = jax.vmap(_sample_many)(dmap0, pts0)   # (B, G, D)
+    d1 = jax.vmap(_sample_many)(dmap1, pts1)
+
+    # descriptor InfoNCE within each image pair
+    sim = jnp.einsum("bgd,bhd->bgh", d0, d1) / 0.1
+    sim = jnp.where(pv[:, None, :], sim, -1e9)
+    logp = jax.nn.log_softmax(sim, axis=-1)
+    diag = jnp.einsum("bgg->bg", logp)
+    l_desc = -jnp.sum(jnp.where(pv, diag, 0.0)) / jnp.maximum(jnp.sum(pv), 1)
+
+    # score repeatability: score1 at pts1 should equal score0 at pts0
+    def sample_score(s, p):
+        return aliked_mod._bilinear_sample(s[..., None], p[:, 0], p[:, 1])[:, 0]
+
+    s0 = jax.vmap(sample_score)(score0, pts0)
+    s1 = jax.vmap(sample_score)(score1, pts1)
+    l_rep = jnp.sum(jnp.where(pv, (s0 - s1) ** 2, 0.0)) / jnp.maximum(jnp.sum(pv), 1)
+    # keep score responses informative (anti-collapse)
+    l_reg = jnp.mean(jax.nn.relu(1.0 - jnp.std(score0, axis=(1, 2)))) \
+        + 0.01 * jnp.mean(score0 ** 2)
+
+    # LightGlue assignment NLL at the GT permutation (identity over G points)
+    P, sig0, sig1 = l_model.apply(
+        params["lightglue"], pts0, d0, pv, pts1, d1, pv, image_hw)
+    diagP = jnp.einsum("bgg->bg", P)
+    l_match = -jnp.sum(jnp.where(pv, jnp.log(diagP + 1e-9), 0.0)) \
+        / jnp.maximum(jnp.sum(pv), 1)
+    # matchability supervision: valid points should be matchable
+    l_sig = -jnp.mean(jnp.where(pv, jnp.log(sig0 + 1e-9), jnp.log(1 - sig0 + 1e-9)))
+
+    total = l_desc + 0.5 * l_rep + 0.1 * l_reg + l_match + 0.1 * l_sig
+    return total, {"desc": l_desc, "rep": l_rep, "match": l_match,
+                   "sig": l_sig, "total": total}
+
+
+def make_train_step(a_model, l_model, tx, image_hw):
+    @jax.jit
+    def train_step(state: TrainState, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, a_model, l_model, batch,
+                                   image_hw)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+# --------------------------------------------------------------------------- #
+# Multi-chip sharded training (dp x tp mesh)
+# --------------------------------------------------------------------------- #
+
+def shard_params_for_tp(params, mesh):
+    """NamedShardings: shard large Dense kernels' output dim over 'tp',
+    replicate everything else."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def spec_of(path, leaf):
+        if leaf.ndim == 2 and leaf.shape[1] % mesh.shape["tp"] == 0 \
+                and leaf.shape[1] >= 64:
+            return NamedSharding(mesh, P(None, "tp"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_of, params)
+
+
+def make_sharded_train_step(a_model, l_model, tx, image_hw, mesh):
+    """jit with explicit (dp, tp) shardings: batch over dp, hidden over tp."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_spec = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+
+    @partial(jax.jit,
+             in_shardings=(None, batch_spec),
+             out_shardings=None)
+    def train_step(state: TrainState, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, a_model, l_model, batch,
+                                   image_hw)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
