@@ -54,35 +54,48 @@ def main() -> int:
         jax.random.PRNGKey(1), desc_dim=128, n_kp=max_kp, dim=256, heads=4,
         n_layers=n_layers)
 
-    @jax.jit
-    def pair_step(pa, pl, im_pair):
-        feats = aliked_mod.extract_batch(a_model, pa, im_pair, max_kp)
-        f0 = jax.tree.map(lambda x: x[0], feats)
-        f1 = jax.tree.map(lambda x: x[1], feats)
-        P, _, _ = l_model.apply(
-            pl, f0.kpts[None], f0.desc[None], f0.valid[None],
-            f1.kpts[None], f1.desc[None], f1.valid[None], (H, W))
-        m = lg_mod.matches_from_assignment(P[0], 0.7)
-        return m.idx0, m.idx1, m.valid
+    # Throughput mode: ONE dispatch extracts a batch of frames and matches
+    # the consecutive pairs (the pipeline's natural TPU shape). Completion is
+    # forced by a device->host transfer of a digest that depends on every
+    # output — this machine's tunneled TPU platform returns from
+    # block_until_ready before execution finishes, and separate per-pair
+    # dispatches would hide behind its async queue, so batched + forced
+    # transfer is the only honest measurement.
+    B = 4 if small else 8           # frames per dispatch -> B-1 pairs
 
+    @jax.jit
+    def bench_batch(pa, pl, imgs):
+        feats = aliked_mod.extract_batch(a_model, pa, imgs, max_kp)   # (B,...)
+        f0 = jax.tree.map(lambda x: x[:-1], feats)
+        f1 = jax.tree.map(lambda x: x[1:], feats)
+        m = lg_mod.match_batch(l_model, pl, f0, f1, (H, W), 0.7)
+        digest = (jnp.sum(m.idx0 * m.valid) + jnp.sum(m.idx1)
+                  + jnp.sum(feats.kpts)).astype(jnp.float32)
+        return digest, jnp.sum(m.valid.astype(jnp.int32), axis=1)
+
+    batch = images[:B]
     log("compiling...")
     t0 = time.perf_counter()
-    out = pair_step(a_params, l_params, images[0:2])
-    jax.block_until_ready(out)
-    log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+    out = bench_batch(a_params, l_params, batch)
+    digest0 = float(out[0])
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s "
+        f"(digest {digest0:.1f})")
 
-    # steady state: cycle over consecutive pairs
-    n_iters = 6 if small else 30
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        j = i % (n_frames - 1)
-        out = pair_step(a_params, l_params,
-                        jax.lax.stop_gradient(images[j:j + 2]))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = n_iters / dt
-    log(f"steady state: {n_iters} pairs in {dt:.2f}s -> {fps:.2f} pairs/s "
-        f"({max_kp} kpts, {n_layers} LightGlue layers, {H}x{W})")
+    # measured run on perturbed inputs (fresh values, same shapes)
+    reps = 2 if small else 4
+    times = []
+    for r in range(reps):
+        b = batch * jnp.float32(1.0 + 1e-6 * (r + 1))
+        t0 = time.perf_counter()
+        out = bench_batch(a_params, l_params, b)
+        _ = float(out[0])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    n_pairs = B - 1
+    fps = n_pairs / dt
+    log(f"steady state: {n_pairs} pairs in {dt:.3f}s (best of {reps}) -> "
+        f"{fps:.2f} pairs/s ({max_kp} kpts, {n_layers} LightGlue layers, "
+        f"{H}x{W})")
 
     print(json.dumps({
         "metric": "aliked_lightglue_e2e_pair_fps_kitti_synth",

@@ -74,14 +74,17 @@ class Attention(nn.Module):
             q = apply_rotary(q, theta_q[:, None, :, : hd // 2])
             k = apply_rotary(k, theta_k[:, None, :, : hd // 2])
 
-        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits / jnp.sqrt(jnp.float32(hd))
-        logits = jnp.where(mask_k[:, None, None, :], logits, _NEG)
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(B, Nq, self.dim)
+        # fused masked attention: Pallas kernel on TPU, XLA einsum elsewhere
+        from simpleslam_tpu.ops.pallas.attention import masked_attention
+
+        qf = q.reshape(B * self.heads, Nq, hd)
+        kf = k.reshape(B * self.heads, Nk, hd)
+        vf = v.reshape(B * self.heads, Nk, hd)
+        mk = jnp.broadcast_to(mask_k[:, None, :], (B, self.heads, Nk)
+                              ).reshape(B * self.heads, Nk)
+        out = masked_attention(qf, kf, vf, mk)
+        out = out.reshape(B, self.heads, Nq, hd).transpose(0, 2, 1, 3)
+        out = out.reshape(B, Nq, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(
             out.astype(self.dtype))
 

@@ -271,8 +271,19 @@ def solve_pnp_ransac(key: jax.Array,
     uv_n = jnp.stack([(uv[:, 0] - K[0, 2]) / fx,
                       (uv[:, 1] - K[1, 2]) / fy], axis=1)
 
-    idx, ok_h = sample_minimal_sets(key, valid, 6, n_hyp)
-    models = jax.vmap(lambda i: dlt_pose(pts3d[i], uv_n[i]))(idx)   # (S,4,4)
+    # P3P minimal hypotheses (planar-safe; the 6-point DLT degenerates on
+    # coplanar samples — walls/ground planes — exactly like cv2's minimal
+    # stage this uses 3-point pose with all quartic solutions scored)
+    from simpleslam_tpu.ops.p3p import p3p_grunert
+
+    idx, ok_h = sample_minimal_sets(key, valid, 3, n_hyp)
+    ones = jnp.ones((M, 1), uv_n.dtype)
+    rays = jnp.concatenate([uv_n, ones], axis=1)
+    rays = rays / jnp.linalg.norm(rays, axis=1, keepdims=True)
+    poses4, pvalid4 = jax.vmap(
+        lambda i: p3p_grunert(pts3d[i], rays[i]))(idx)     # (S,4,4,4), (S,4)
+    models = poses4.reshape(-1, 4, 4)
+    ok_h = (ok_h[:, None] & pvalid4).reshape(-1)
     if Tcw_init is not None:
         models = jnp.concatenate([Tcw_init[None], models], axis=0)
         ok_h = jnp.concatenate([jnp.ones((1,), bool), ok_h])

@@ -107,17 +107,16 @@ class CorridorScene:
             t_best = np.where(ok, t, t_best)
             hit = np.where(ok[..., None], p, hit)
 
-        plane(1, self.ground_y, lambda dn: dn > 0)               # ground below
-        plane(0, C[0] + self.wall_x, lambda dn: dn > 0)          # right wall
-        plane(0, C[0] - self.wall_x, lambda dn: dn < 0)          # left wall
-        # far "sky wall" so upward rays still see texture (moves with camera,
-        # providing distant low-parallax structure like a skyline)
-        fwd = Rwc[:, 2]
-        tz = 120.0 / np.maximum(d @ fwd, 0.05)
-        okz = ~np.isfinite(t_best) | (t_best > 119.0)
-        pz = C[None, None, :] + tz[..., None] * d
-        hit = np.where((okz & np.isfinite(tz))[..., None], pz, hit)
-        t_best = np.where(okz, tz, t_best)
+        # ALL planes are STATIC world geometry — scenery anchored to the
+        # camera would be inconsistent across views and poison stereo /
+        # multi-view estimation. The far wall re-anchors on a 50 m world grid
+        # so it stays ahead of any trajectory length.
+        plane(1, self.ground_y, lambda dn: dn > 0)               # ground
+        plane(0, self.wall_x, lambda dn: dn > 0)                 # right wall
+        plane(0, -self.wall_x, lambda dn: dn < 0)                # left wall
+        plane(1, -3.0 * self.wall_x, lambda dn: dn < 0)          # high ceiling
+        far_z = np.floor(C[2] / 50.0) * 50.0 + 200.0
+        plane(2, far_z, lambda dn: dn > 0)
 
         img = self.tex(hit)
         # mild distance shading for realism
