@@ -48,10 +48,9 @@ def init_feature_pipeline(args) -> Tuple[Detector, Matcher]:
     """Build (detector, matcher) from config (features_utils.py:18-55).
 
     ``--use_lightglue`` (or detector='aliked') selects the learned pipeline:
-    ALIKED keypoints + LightGlue attention matching. Otherwise the classical
-    ORB-style detector + exhaustive Hamming matcher. 'sift'/'akaze' currently
-    alias to the ORB-style detector with their own score thresholds (full
-    DoG/AKAZE variants are tracked as follow-up work).
+    ALIKED keypoints + LightGlue attention matching. 'orb'/'akaze' use the
+    binary FAST+BRIEF front-end (ops/features); 'sift' uses the DoG +
+    gradient-histogram float front-end (ops/features_sift).
     """
     max_kp = int(getattr(args, "max_features", 4000))
     n_pad = ((max_kp + 127) // 128) * 128
@@ -66,11 +65,20 @@ def init_feature_pipeline(args) -> Tuple[Detector, Matcher]:
         return det, mat
 
     name = getattr(args, "detector", "orb")
-    thresh = {"orb": 20.0, "sift": 10.0, "akaze": 15.0}.get(name, 20.0)
+    if name == "sift":
+        from simpleslam_tpu.ops.features_sift import sift_detect_and_describe
 
-    def detect(img_gray: jax.Array) -> Features:
-        return orb_detect_and_describe(img_gray, max_kp=n_pad,
-                                       fast_thresh=thresh)
+        def detect(img_gray: jax.Array) -> Features:
+            return sift_detect_and_describe(img_gray, max_kp=n_pad)
+    else:
+        # 'akaze' maps onto the binary FAST+BRIEF front-end with a lower
+        # detection threshold (a true nonlinear-diffusion KAZE variant is
+        # tracked as follow-up work)
+        thresh = {"orb": 20.0, "akaze": 15.0}.get(name, 20.0)
+
+        def detect(img_gray: jax.Array) -> Features:
+            return orb_detect_and_describe(img_gray, max_kp=n_pad,
+                                           fast_thresh=thresh)
 
     def match(f0: Features, f1: Features) -> Matches:
         return bf_match(f0, f1, cross_check=True)
@@ -130,3 +138,17 @@ def match_with_ransac(args, matcher: Matcher, feats0: Features,
     m = feature_matcher(args, feats0, feats1, matcher)
     return filter_matches_ransac(feats0, feats1, m,
                                  getattr(args, "ransac_thresh", 2.5), key=key)
+
+
+def detect_and_match(args, img0, img1, detector: Detector, matcher: Matcher,
+                     ransac: bool = True, key=None):
+    """One-shot detect-both + match (the reference's legacy
+    ``detect_and_match`` convenience, features_utils.py:208-255).
+    Returns (feats0, feats1, matches)."""
+    f0 = feature_extractor(args, img0, detector)
+    f1 = feature_extractor(args, img1, detector)
+    if ransac:
+        m = match_with_ransac(args, matcher, f0, f1, key=key)
+    else:
+        m = feature_matcher(args, f0, f1, matcher)
+    return f0, f1, m

@@ -19,9 +19,11 @@ TPU-native replacement for the reference's PnP layer (slam/core/pnp_utils.py):
     landmark is dropped for this frame rather than falling back to its
     second-best — immaterial at real keypoint densities).
   * ``solve_pnp_ransac`` — ``cv2.solvePnPRansac(SOLVEPNP_ITERATIVE)``
-    (pnp_utils.py:307-341) becomes batched-hypothesis RANSAC (6-point DLT
-    pose fits, all hypotheses scored at once, the extrinsic guess included as
-    hypothesis 0) + Gauss-Newton refinement on the SE(3) tangent.
+    (pnp_utils.py:307-341) becomes batched-hypothesis RANSAC (P3P minimal
+    solves, ops/p3p.py — planar-safe, all quartic solutions of all samples
+    scored at once; the extrinsic guess joins the pool) + LO-RANSAC
+    Gauss-Newton refinement on the SE(3) tangent. The 6-point ``dlt_pose``
+    remains available for non-degenerate overdetermined fits.
   * host-API parity helpers ``associate_landmarks`` / ``refine_pose_pnp`` /
     ``project_points_wc`` match the signatures the reference unit tests use
     (pnp_utils.py:147-221).
@@ -387,3 +389,70 @@ def refine_pose_pnp(K, pts3d, pts2d, ransac_px: float = 2.0):
         return None, None
     T = np.asarray(T, np.float64)
     return T[:3, :3], T[:3, 3]
+
+
+# --------------------------------------------------------------------------- #
+# Reference-shaped host wrappers
+# --------------------------------------------------------------------------- #
+
+class Matches2D3D(NamedTuple):
+    """Compact 2D-3D association result (reference pnp_utils.Matches2D3D,
+    :51-57): world points, matched pixels, keypoint indices, landmark ids."""
+    pts3d: np.ndarray
+    pts2d: np.ndarray
+    kp_indices: list
+    mp_ids: list
+
+
+def reproject_and_match_2d3d_host(world_map, K, Tcw_pred, feats,
+                                  img_w: int, img_h: int, *,
+                                  radius_px: float = 12.0,
+                                  max_hamm: float = 64.0,
+                                  max_l2: float = 0.8,
+                                  capacity: int = 0) -> Matches2D3D:
+    """Reference-shaped wrapper over the jitted association: takes the live
+    Map + padded Features, returns a compact Matches2D3D."""
+    desc = np.asarray(feats.desc)
+    cap = capacity or max(1024, 1 << (len(world_map) - 1).bit_length())
+    snap = world_map.snapshot(cap, desc.shape[1], desc.dtype)
+    out = reproject_and_match_2d3d(
+        jnp.asarray(snap["positions"]), jnp.asarray(snap["alive"]),
+        jnp.asarray(snap["desc"]), jnp.asarray(snap["n_desc"]),
+        feats.kpts, feats.desc, feats.valid,
+        jnp.asarray(np.asarray(K), jnp.float32),
+        jnp.asarray(np.asarray(Tcw_pred), jnp.float32),
+        img_w=int(img_w), img_h=int(img_h), radius_px=radius_px,
+        max_hamm=max_hamm, max_l2=max_l2)
+    valid = np.asarray(out.valid)
+    kp_idx = np.asarray(out.kp_idx)
+    rows = np.flatnonzero(valid)
+    kpts = np.asarray(feats.kpts)
+    return Matches2D3D(
+        pts3d=snap["positions"][rows].astype(np.float32),
+        pts2d=kpts[kp_idx[rows]].astype(np.float32),
+        kp_indices=[int(k) for k in kp_idx[rows]],
+        mp_ids=[int(p) for p in snap["pid"][rows]])
+
+
+def draw_reprojection_debug(img, uv_meas, uv_proj, inlier_mask=None):
+    """Measured (green) vs projected (red) keypoints with connecting lines
+    (reference pnp_utils.draw_reprojection_debug, :345-364); returns the
+    drawn BGR image (no-op copy without cv2)."""
+    try:
+        import cv2
+    except Exception:
+        return np.asarray(img).copy()
+    out = np.asarray(img)
+    if out.ndim == 2:
+        out = np.repeat(out[..., None], 3, axis=2)
+    out = out.copy()
+    uv_meas = np.asarray(uv_meas)
+    uv_proj = np.asarray(uv_proj)
+    for i, (m, p) in enumerate(zip(uv_meas, uv_proj)):
+        ok = inlier_mask[i] if inlier_mask is not None else True
+        pm = tuple(int(v) for v in m)
+        pp = tuple(int(v) for v in p)
+        cv2.circle(out, pm, 2, (0, 255, 0) if ok else (128, 128, 128), -1)
+        cv2.circle(out, pp, 2, (0, 0, 255), -1)
+        cv2.line(out, pm, pp, (0, 200, 255), 1)
+    return out
