@@ -71,57 +71,62 @@ def main() -> int:
     #     result is observed (nothing can be lazily skipped);
     #   * remote compiles are slow and superlinear in batch -> keep the
     #     program at one frame pair per dispatch.
+    # STREAMING formulation — what the driver actually does per frame:
+    # extract the NEW frame once and match it against the previous frame's
+    # (already extracted) features. The old pair formulation extracted both
+    # frames per step, double-counting extraction.
     @jax.jit
-    def pair_step(pa, pl, im_pair):
-        feats = aliked_mod.extract_batch(a_model, pa, im_pair, max_kp)
-        f0 = jax.tree.map(lambda x: x[0], feats)
-        f1 = jax.tree.map(lambda x: x[1], feats)
+    def extract_one(pa, im):
+        return aliked_mod.extract_batch(a_model, pa, im, max_kp)
+
+    @jax.jit
+    def frame_step(pa, pl, im, prev):
+        feats = aliked_mod.extract_batch(a_model, pa, im, max_kp)
+        f = jax.tree.map(lambda x: x[0], feats)
         P, _, _ = l_model.apply(
-            pl, f0.kpts[None], f0.desc[None], f0.valid[None],
-            f1.kpts[None], f1.desc[None], f1.valid[None], (H, W))
+            pl, prev.kpts[None], prev.desc[None], prev.valid[None],
+            f.kpts[None], f.desc[None], f.valid[None], (H, W))
         m = lg_mod.matches_from_assignment(P[0], 0.7)
         return (jnp.sum(m.idx0 * m.valid) + jnp.sum(m.idx1)
-                + jnp.sum(feats.kpts)).astype(jnp.float32)
+                + jnp.sum(f.kpts)).astype(jnp.float32)
 
     log("compiling...")
     t0 = time.perf_counter()
-    d0 = float(pair_step(a_params, l_params, images[0:2]))
-    log(f"compile+first pair: {time.perf_counter() - t0:.1f}s (digest {d0:.1f})")
+    prev_feats = jax.tree.map(lambda x: x[0],
+                              extract_one(a_params, images[0:1]))
+    d0 = float(frame_step(a_params, l_params, images[1:2], prev_feats))
+    log(f"compile+first frame: {time.perf_counter() - t0:.1f}s "
+        f"(digest {d0:.1f})")
 
-    # Pre-stage every input pair on the DEVICE before timing: the debug
-    # tunnel moves host->device data at ~150 MB/s, which would otherwise
-    # dominate (in production frames arrive via the real data path, not this
-    # relay). The timed loop then dispatches compute on resident arrays only.
+    # device-staged single-frame inputs (the debug tunnel uploads at
+    # ~150 MB/s; production frames arrive via the real data path)
     K = 8 if small else 30
     staged = []
     for k in range(K):
-        j = k % (n_frames - 1)
-        im = images[j:j + 2] * jnp.float32(1.0 + 1e-6 * (k + 1))
-        staged.append(jax.device_put(im))
-    _ = [float(jnp.sum(s_[0, 0, 0])) for s_ in staged]   # force staging
+        j = k % n_frames
+        staged.append(jax.device_put(
+            images[j:j + 1] * jnp.float32(1.0 + 1e-6 * (k + 1))))
+    _ = [float(jnp.sum(s_[0, 0, 0])) for s_ in staged]
 
     best_fps = 0.0
     for round_ in range(2):
         outs = []
         t0 = time.perf_counter()
         for k in range(K):
-            outs.append(pair_step(a_params, l_params, staged[k]))
-        # one on-device reduction over ALL K digests -> a single forced
-        # transfer; every pair's compute feeds it, nothing can be skipped,
-        # and only one tunnel round-trip lands inside the timed region
+            outs.append(frame_step(a_params, l_params, staged[k], prev_feats))
         total = outs[0]
         for o in outs[1:]:
             total = total + o
-        _ = float(total)
+        _ = float(total)       # one forced transfer; all K frames feed it
         dt = time.perf_counter() - t0
         best_fps = max(best_fps, K / dt)
-        log(f"round {round_}: {K} pairs in {dt:.3f}s -> {K / dt:.2f} pairs/s")
+        log(f"round {round_}: {K} frames in {dt:.3f}s -> {K / dt:.2f} frames/s")
     fps = best_fps
-    log(f"steady state: {fps:.2f} pairs/s ({max_kp} kpts, {n_layers} "
+    log(f"steady state: {fps:.2f} frames/s ({max_kp} kpts, {n_layers} "
         f"LightGlue layers, {H}x{W})")
 
     print(json.dumps({
-        "metric": "aliked_lightglue_e2e_pair_fps_kitti_synth",
+        "metric": "aliked_lightglue_streaming_fps_kitti_synth",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 60.0, 3),
