@@ -125,6 +125,47 @@ def main() -> int:
     log(f"steady state: {fps:.2f} frames/s ({max_kp} kpts, {n_layers} "
         f"LightGlue layers, {H}x{W})")
 
+    # component metric (stderr): local-BA solves/s on a reference-scale
+    # window (10 cams, 2000 pts, 12k edges, 12 LM iters)
+    try:
+        from simpleslam_tpu.ops.ba import BAProblem, ba_solve
+
+        rngb = np.random.default_rng(0)
+        P_, L_, E_ = 10, 2048, 16384
+        pts = jnp.asarray(np.stack([rngb.uniform(-5, 5, L_),
+                                    rngb.uniform(-3, 3, L_),
+                                    rngb.uniform(4, 30, L_)], 1), jnp.float32)
+        poses = jnp.asarray(np.tile(np.eye(4), (P_, 1, 1)), jnp.float32)
+        poses = poses.at[:, 0, 3].set(jnp.arange(P_) * 0.3)
+        cam_idx = jnp.asarray(rngb.integers(0, P_, E_), jnp.int32)
+        pt_idx = jnp.asarray(rngb.integers(0, L_, E_), jnp.int32)
+        Kb = jnp.asarray([[707.0, 0, 601.0], [0, 707.0, 183.0], [0, 0, 1.0]],
+                         jnp.float32)
+        pc = jnp.einsum("eij,ej->ei", poses[cam_idx][:, :3, :3], pts[pt_idx])             + poses[cam_idx][:, :3, 3]
+        uv = (pc[:, :2] / pc[:, 2:3]) * 707.0 + jnp.asarray([601.0, 183.0])
+        uv = uv + jnp.asarray(rngb.normal(0, 0.5, (E_, 2)), jnp.float32)
+        prob = BAProblem(poses=poses, points=pts, cam_idx=cam_idx,
+                         pt_idx=pt_idx, uv=uv,
+                         e_valid=jnp.ones(E_, bool),
+                         cam_free=jnp.ones(P_, bool).at[0].set(False),
+                         pt_free=jnp.ones(L_, bool))
+        out_ba = ba_solve(prob, Kb, huber=2.0, max_iters=12)
+        _ = float(out_ba[3])                     # force (compile+run)
+        t0 = time.perf_counter()
+        reps_ba = 5
+        outs_ba = [ba_solve(prob._replace(
+            uv=uv + jnp.float32(1e-6 * (r + 1))), Kb, huber=2.0,
+            max_iters=12)[3] for r in range(reps_ba)]
+        tot_ba = outs_ba[0]
+        for o in outs_ba[1:]:
+            tot_ba = tot_ba + o
+        _ = float(tot_ba)
+        dtb = time.perf_counter() - t0
+        log(f"component: local BA (10 cams, 2048 pts, 16k edges, 12 LM iters)"
+            f" {reps_ba / dtb:.2f} solves/s")
+    except Exception as e:
+        log(f"BA component bench skipped: {e}")
+
     print(json.dumps({
         "metric": "aliked_lightglue_streaming_fps_kitti_synth",
         "value": round(fps, 2),
