@@ -24,7 +24,7 @@ Assembly differences from the reference (deliberate, TPU-first):
 from __future__ import annotations
 
 import logging
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

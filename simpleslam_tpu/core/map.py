@@ -66,6 +66,7 @@ class MapPoint:
     @position.setter
     def position(self, v) -> None:
         self._map._positions[self._map._row[self.id]] = np.asarray(v, np.float64)
+        self._map.version += 1   # invalidate device snapshot caches
 
     @property
     def colour(self) -> np.ndarray:
@@ -149,6 +150,9 @@ class Map:
         self.poses: List[np.ndarray] = []        # T_cw per *frame*
         self.keyframe_indices: List[int] = []
         self.points = _PointsView(self)
+        # bumped on every landmark mutation; lets device-side snapshot
+        # caches (run_slam) invalidate precisely
+        self.version = 0
 
     # ------------------------------------------------------------- internal
     def _grow(self, need: int) -> None:
@@ -173,6 +177,7 @@ class Map:
             self._obs_desc = np.zeros((cap, MAX_OBS_DESC, desc.shape[0]), desc.dtype)
 
     def _add_observation(self, pid: int, kf_idx: int, kp_idx: int, descriptor) -> None:
+        self.version += 1
         d = canon_desc(descriptor)
         self._obs[pid].append((kf_idx, kp_idx, d))
         self._ensure_desc_store(d)
@@ -187,6 +192,7 @@ class Map:
 
     def _remove_point(self, pid: int) -> None:
         # swap-free tombstone removal: compact lazily on snapshot
+        self.version += 1
         del self._row[pid]
         self._obs.pop(pid, None)
 
@@ -213,6 +219,7 @@ class Map:
         self._positions[rows] = pts3d.astype(np.float64)
         self._colours[rows] = np.asarray(colours, np.float32)
         self._created_kf[rows] = keyframe_idx
+        self.version += 1
         new_ids = list(range(self._next_pid, self._next_pid + n))
         for pid, row in zip(new_ids, rows):
             self._row[pid] = int(row)

@@ -17,7 +17,7 @@ Run: python -m simpleslam_tpu.legacy.run_ef --dataset kitti --base_dir ...
 from __future__ import annotations
 
 import logging
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -162,6 +162,8 @@ class EFTracker:
 
 def run(cfg: SLAMConfig):
     logging.basicConfig(level=logging.INFO)
+    from simpleslam_tpu.utils.platform import enable_compile_cache
+    enable_compile_cache()
     seq = Sequence.load(cfg)
     gt = seq.gt
     gt44 = None

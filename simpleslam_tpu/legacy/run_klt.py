@@ -140,6 +140,8 @@ class KLTTracker:
 
 def run(cfg: SLAMConfig):
     logging.basicConfig(level=logging.INFO)
+    from simpleslam_tpu.utils.platform import enable_compile_cache
+    enable_compile_cache()
     seq = Sequence.load(cfg)
     gt = seq.gt
     gt44 = None

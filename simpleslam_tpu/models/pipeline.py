@@ -11,7 +11,6 @@ import os
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from simpleslam_tpu.core.types import Features, Matches

@@ -27,7 +27,7 @@ import numpy as np
 from simpleslam_tpu.config import SLAMConfig
 from simpleslam_tpu.core import frontend
 from simpleslam_tpu.core.types import Features
-from simpleslam_tpu.ops import pnp, se3
+from simpleslam_tpu.ops import pnp
 from simpleslam_tpu.ops.features import rgb_to_gray
 from simpleslam_tpu.ops.stereo import (disparity_block_match,
                                        keypoints_to_3d, sample_disparity)

@@ -4,7 +4,6 @@ from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
-import numpy as np
 
 
 def draw_tracks(img, tracks: Dict[int, List[Tuple[float, float]]],
