@@ -190,6 +190,23 @@ class Map:
             self._obs_desc[row, c % MAX_OBS_DESC] = d  # ring of last 6
             self._obs_count[row] = c + 1
 
+    def refresh_ring(self, pid: int, descriptor) -> None:
+        """Update ONLY the fast-path descriptor ring (not the observation
+        list): used by the tracker to keep landmark appearance current with
+        the latest matched frame descriptor. Deliberately does NOT bump
+        ``version`` — ring refreshes are mirrored incrementally into device
+        snapshots by the caller (run_slam), and they must not trigger a full
+        snapshot rebuild every frame."""
+        d = canon_desc(descriptor)
+        self._ensure_desc_store(d)
+        if self._obs_desc.shape[-1] == d.shape[0] and self._obs_desc.dtype == d.dtype:
+            row = self._row.get(pid)
+            if row is None:
+                return
+            c = self._obs_count[row]
+            self._obs_desc[row, c % MAX_OBS_DESC] = d
+            self._obs_count[row] = c + 1
+
     def _remove_point(self, pid: int) -> None:
         # swap-free tombstone removal: compact lazily on snapshot
         self.version += 1

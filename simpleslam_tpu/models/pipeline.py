@@ -19,6 +19,47 @@ from simpleslam_tpu.models import lightglue as lg_mod
 
 DESC_DIM = 128
 
+# repo-local checkpoint written by models/train_frontend.py
+_CKPT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "checkpoints",
+    "learned_frontend")
+_CKPT_CACHE = [False, None]
+
+
+def _load_repo_checkpoint():
+    """Load (and memoize) the trained front-end checkpoint if present."""
+    if _CKPT_CACHE[0]:
+        return _CKPT_CACHE[1]
+    _CKPT_CACHE[0] = True
+    if os.path.isdir(_CKPT_DIR):
+        try:
+            import orbax.checkpoint as ocp
+
+            _CKPT_CACHE[1] = ocp.StandardCheckpointer().restore(_CKPT_DIR)
+        except Exception:
+            _CKPT_CACHE[1] = None
+    return _CKPT_CACHE[1]
+
+
+def _graft_matching(params, loaded):
+    """Copy checkpoint leaves whose paths + shapes match the live tree
+    (tolerates architecture deltas between training and inference configs)."""
+    import jax
+
+    flat_live = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat_new = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+    out = []
+    n_hit = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        cand = flat_new.get(path)
+        if cand is not None and tuple(cand.shape) == tuple(leaf.shape):
+            out.append(jax.numpy.asarray(cand, leaf.dtype))
+            n_hit += 1
+        else:
+            out.append(leaf)
+    tree = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(tree, out)
+
 
 class LearnedExtractor:
     """ALIKED bundle satisfying the frontend Detector protocol."""
@@ -33,6 +74,10 @@ class LearnedExtractor:
         ckpt = os.environ.get("SLAM_ALIKED_WEIGHTS")
         if ckpt and os.path.exists(ckpt):
             self.params = aliked_mod.load_torch_aliked(ckpt, self.params)
+        else:
+            loaded = _load_repo_checkpoint()
+            if loaded is not None and "aliked" in loaded:
+                self.params = _graft_matching(self.params, loaded["aliked"])
         self.image_hw: Optional[Tuple[int, int]] = None
 
     def fn(self, gray: jax.Array) -> Features:
@@ -61,6 +106,9 @@ class LearnedMatcher:
         self.model, self.params = lg_mod.init_lightglue(
             jax.random.PRNGKey(seed), desc_dim=extractor.desc_dim,
             n_kp=min(extractor.max_kp, 64), n_layers=n_layers)
+        loaded = _load_repo_checkpoint()
+        if loaded is not None and "lightglue" in loaded:
+            self.params = _graft_matching(self.params, loaded["lightglue"])
 
     def fn(self, feats0: Features, feats1: Features) -> Matches:
         hw = self.extractor.image_hw or (480, 640)

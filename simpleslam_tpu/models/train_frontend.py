@@ -1,0 +1,77 @@
+"""Train the learned front-end (ALIKED + LightGlue) on synthetic homography
+pairs and checkpoint it for the pipeline.
+
+No pretrained weights can reach this machine (zero egress), so this CLI
+makes the learned path REAL: self-supervised training (models/train.py
+losses) at pipeline-scale hyperparameters, checkpointed via orbax into
+``checkpoints/learned_frontend`` — which ``models.pipeline`` loads
+automatically when present.
+
+Run (TPU): python -m simpleslam_tpu.models.train_frontend --steps 600
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# pipeline-scale architecture (must match models/pipeline.py)
+DESC_DIM = 128
+DIM = 256
+HEADS = 4
+N_LAYERS = 9
+CKPT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "checkpoints",
+    "learned_frontend")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("train_frontend")
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--hw", type=int, nargs=2, default=[96, 128])
+    p.add_argument("--points", type=int, default=48)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--out", default=CKPT_DIR)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(argv)
+
+    from simpleslam_tpu.models import train as train_mod
+    from simpleslam_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+    H, W = a.hw
+    a_model, l_model, tx, state = train_mod.make_train_state(
+        jax.random.PRNGKey(a.seed), lr=a.lr, desc_dim=DESC_DIM,
+        n_kp=a.points, dim=DIM, n_layers=N_LAYERS, image_hw=(H, W))
+    step_fn = train_mod.make_train_step(a_model, l_model, tx, (H, W))
+
+    key = jax.random.PRNGKey(a.seed + 1)
+    t0 = time.perf_counter()
+    for i in range(a.steps):
+        batch = train_mod.synthetic_pair_batch(
+            jax.random.fold_in(key, i), B=a.batch, H=H, W=W, G=a.points)
+        state, metrics = step_fn(state, batch)
+        if i % 50 == 0 or i == a.steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            print(f"step {i:5d}  total {m['total']:.4f}  desc {m['desc']:.4f}"
+                  f"  match {m['match']:.4f}  rep {m['rep']:.4f}"
+                  f"  ({time.perf_counter() - t0:.0f}s)", flush=True)
+
+    os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.abspath(a.out),
+              jax.tree.map(np.asarray, state.params), force=True)
+    ckpt.wait_until_finished()
+    print(f"saved checkpoint to {a.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

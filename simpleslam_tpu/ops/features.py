@@ -182,9 +182,18 @@ def _brief_descriptors(img_blur: jax.Array, xs: jax.Array, ys: jax.Array,
     # rotated offsets: (N, 256, 2, 2)
     rot = jnp.einsum("nij,pkj->npki", R, pat)
     H, W = img_blur.shape
-    px = jnp.clip(jnp.round(xs[:, None, None] + rot[..., 0]), 0, W - 1).astype(jnp.int32)
-    py = jnp.clip(jnp.round(ys[:, None, None] + rot[..., 1]), 0, H - 1).astype(jnp.int32)
-    vals = img_blur[py, px]                                # (N, 256, 2)
+    # bilinear sampling: nearest-pixel rounding flips comparison bits under
+    # small rotation/subpixel jitter, measurably hurting matching stability
+    px = jnp.clip(xs[:, None, None] + rot[..., 0], 0.0, W - 1.001)
+    py = jnp.clip(ys[:, None, None] + rot[..., 1], 0.0, H - 1.001)
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    fx = px - x0
+    fy = py - y0
+    vals = (img_blur[y0, x0] * (1 - fx) * (1 - fy)
+            + img_blur[y0, x0 + 1] * fx * (1 - fy)
+            + img_blur[y0 + 1, x0] * (1 - fx) * fy
+            + img_blur[y0 + 1, x0 + 1] * fx * fy)          # (N, 256, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)  # (N, 256)
     weights = (jnp.left_shift(jnp.ones((8,), jnp.int32),
                               jnp.arange(8, dtype=jnp.int32))).astype(jnp.uint8)

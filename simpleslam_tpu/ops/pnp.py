@@ -113,55 +113,73 @@ def reproject_and_match_2d3d(
     n_chunks = max(1, C // chunk)
     assert C % chunk == 0 or C < chunk, "map capacity must be chunk-aligned"
 
-    def process(chunk_data):
-        uv_c, cand_c, ring_c, nd_c = chunk_data
-        CH = uv_c.shape[0]
-        # spatial window gate (CH, N)
-        d2 = (jnp.sum(uv_c * uv_c, axis=1)[:, None]
-              + jnp.sum(kpts * kpts, axis=1)[None, :]
-              - 2.0 * jax.lax.dot_general(
-                  uv_c, kpts, (((1,), (1,)), ((), ())),
-                  preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST))
-        window = (d2 <= r2) & kp_valid[None, :] & cand_c[:, None]
+    def run_search(kp_mask):
+        """Best (kp, desc distance) per landmark over the allowed keypoints."""
 
-        # descriptor distances: (CH*R, D) x (D, N) -> (CH, R, N)
-        flat = ring_c.reshape(CH * R, D)
-        if binary:
-            dd = hamming_matrix(unpack_bits(flat), kp_bits)
-        else:
-            dd = jnp.sqrt(l2sq_matrix(flat.astype(jnp.float32), kp_f))
-        dd = dd.reshape(CH, R, N)
-        slot_ok = (jnp.arange(R)[None, :, None]
-                   < jnp.minimum(nd_c, R)[:, None, None])
-        dd = jnp.where(slot_ok, dd, _INF)
-        best_over_ring = jnp.min(dd, axis=1)                  # (CH, N)
+        def process(chunk_data):
+            uv_c, cand_c, ring_c, nd_c = chunk_data
+            CH = uv_c.shape[0]
+            # spatial window gate (CH, N)
+            d2 = (jnp.sum(uv_c * uv_c, axis=1)[:, None]
+                  + jnp.sum(kpts * kpts, axis=1)[None, :]
+                  - 2.0 * jax.lax.dot_general(
+                      uv_c, kpts, (((1,), (1,)), ((), ())),
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST))
+            window = (d2 <= r2) & kp_mask[None, :] & cand_c[:, None]
 
-        scored = jnp.where(window & (best_over_ring <= thr),
-                           best_over_ring, _INF)
-        best_kp = jnp.argmin(scored, axis=1).astype(jnp.int32)
-        best_d = jnp.take_along_axis(scored, best_kp[:, None], axis=1)[:, 0]
-        return best_kp, best_d
+            # descriptor distances: (CH*R, D) x (D, N) -> (CH, R, N)
+            flat = ring_c.reshape(CH * R, D)
+            if binary:
+                dd = hamming_matrix(unpack_bits(flat), kp_bits)
+            else:
+                dd = jnp.sqrt(l2sq_matrix(flat.astype(jnp.float32), kp_f))
+            dd = dd.reshape(CH, R, N)
+            slot_ok = (jnp.arange(R)[None, :, None]
+                       < jnp.minimum(nd_c, R)[:, None, None])
+            dd = jnp.where(slot_ok, dd, _INF)
+            best_over_ring = jnp.min(dd, axis=1)              # (CH, N)
 
-    if C <= chunk:
-        best_kp, best_d = process((uv_all, cand, desc_ring, n_desc))
-    else:
+            scored = jnp.where(window & (best_over_ring <= thr),
+                               best_over_ring, _INF)
+            best_kp = jnp.argmin(scored, axis=1).astype(jnp.int32)
+            best_d = jnp.take_along_axis(scored, best_kp[:, None], axis=1)[:, 0]
+            return best_kp, best_d
+
+        if C <= chunk:
+            return process((uv_all, cand, desc_ring, n_desc))
         ch_uv = uv_all.reshape(n_chunks, chunk, 2)
         ch_cand = cand.reshape(n_chunks, chunk)
         ch_ring = desc_ring.reshape(n_chunks, chunk, R, D)
         ch_nd = n_desc.reshape(n_chunks, chunk)
-        best_kp, best_d = jax.lax.map(process, (ch_uv, ch_cand, ch_ring, ch_nd))
-        best_kp = best_kp.reshape(C)
-        best_d = best_d.reshape(C)
+        bk, bd = jax.lax.map(process, (ch_uv, ch_cand, ch_ring, ch_nd))
+        return bk.reshape(C), bd.reshape(C)
 
-    has = best_d < _INF
-    # one-kp-one-landmark: earliest landmark (lowest row) wins (insertion-
-    # order greedy analog of the reference's used_kps set)
-    order = jnp.arange(C, dtype=jnp.int32)
-    claim = jnp.where(has, best_kp, N)       # N = dummy bucket for no-claims
-    winner = jnp.full((N + 1,), C, jnp.int32).at[claim].min(order)
-    valid = has & (winner[claim] == order)
-    return Assoc2D3D(kp_idx=best_kp, dist=best_d, uv_proj=uv_all, valid=valid)
+    def resolve(best_kp, best_d, eligible):
+        """One-kp-one-landmark: earliest landmark (lowest row) wins among
+        the eligible claimants (insertion-order greedy analog of the
+        reference's used_kps set)."""
+        has = (best_d < _INF) & eligible
+        order = jnp.arange(C, dtype=jnp.int32)
+        claim = jnp.where(has, best_kp, N)   # N = dummy no-claim bucket
+        winner = jnp.full((N + 1,), C, jnp.int32).at[claim].min(order)
+        return has, has & (winner[claim] == order)
+
+    best_kp, best_d = run_search(kp_valid)
+    has1, valid1 = resolve(best_kp, best_d, jnp.ones((C,), bool))
+
+    # Round 2: conflict losers retry on the keypoints left unclaimed — the
+    # parallel analog of the reference's greedy scan falling through to the
+    # next-best in-window candidate for later landmarks.
+    taken = jnp.zeros((N + 1,), bool).at[
+        jnp.where(valid1, best_kp, N)].set(True).at[N].set(False)[:N]
+    best_kp2, best_d2 = run_search(kp_valid & ~taken)
+    _, valid2 = resolve(best_kp2, best_d2, has1 & ~valid1)
+
+    kp_idx = jnp.where(valid1, best_kp, best_kp2)
+    dist = jnp.where(valid1, best_d, best_d2)
+    valid = valid1 | valid2
+    return Assoc2D3D(kp_idx=kp_idx, dist=dist, uv_proj=uv_all, valid=valid)
 
 
 # --------------------------------------------------------------------------- #

@@ -163,6 +163,34 @@ class SLAMSystem:
         self._snap_cache = (ver, snap)
         return snap
 
+    def _refresh_rings(self, snap, assoc, inl, feats) -> None:
+        """Keep landmark descriptor rings current with this frame's matched
+        descriptors (PnP inliers only). Without this, association quality
+        decays between keyframes as viewpoint drifts and one weak frame can
+        cascade into tracking loss. Updates the DEVICE snapshot in place
+        (tiny scatter, no re-upload) and mirrors into the host map's rings
+        (no version bump: the next full rebuild sees the same state).
+        """
+        sel = np.flatnonzero(np.asarray(assoc.valid & inl))
+        if sel.size == 0:
+            return
+        rows = jnp.asarray(sel, jnp.int32)
+        kp_sel = assoc.kp_idx[rows]
+        descs = feats.desc[kp_sel]
+        ring = snap["desc"]
+        nd = snap["n_desc"]
+        slots = nd[rows] % ring.shape[1]
+        snap["desc"] = ring.at[rows, slots].set(descs)
+        snap["n_desc"] = nd.at[rows].add(1)
+        if self._snap_cache is not None:
+            self._snap_cache = (self._snap_cache[0], snap)
+        # host mirror (authoritative for the next full snapshot rebuild)
+        pids = snap["pid"][sel]
+        descs_np = np.asarray(descs)
+        for pid, d in zip(pids, descs_np):
+            if pid >= 0:
+                self.world_map.refresh_ring(int(pid), d)
+
     # ------------------------------------------------------------ bootstrap
     def _try_bootstrap(self, frame_idx: int, img: np.ndarray, feats: Features
                        ) -> bool:
@@ -238,9 +266,7 @@ class SLAMSystem:
                 self.world_map.add_pose(np.asarray(T_est, np.float64),
                                         is_keyframe=False)
                 self.frame_ids.append(frame_idx)
-                # register fresh observations on matched landmarks so their
-                # descriptor rings stay current (reference does this via the
-                # KF observation path; here the ring update is what matters)
+                self._refresh_rings(snap, assoc, inl, feats)
                 tracking_lost = False
             else:
                 logger.info("[TRACK] PnP rejected (inl=%d < %d)",
