@@ -42,7 +42,8 @@ class ConvBlock(nn.Module):
         x = nn.Conv(self.ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
         x = nn.gelu(x)
         x = nn.Conv(self.ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=8, dtype=self.dtype)(x)
+        # statistics in f32: bf16 variance/rsqrt is a NaN source in training
+        x = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(x).astype(self.dtype)
         return nn.gelu(x)
 
 

@@ -48,9 +48,18 @@ def make_models(key, desc_dim: int = 64, n_kp: int = 64, dim: int = 128,
     return a_model, l_model, {"aliked": a_params, "lightglue": l_params}
 
 
-def make_train_state(key, lr: float = 1e-4, **model_kw):
+def make_train_state(key, lr: float = 1e-4, warmup: int = 100,
+                     total_steps: int = 10000, **model_kw):
     a_model, l_model, params = make_models(key, **model_kw)
-    tx = optax.adamw(lr)
+    # transformer-safe recipe: NaN-step skipping + global-norm clipping +
+    # warmup-cosine schedule. bf16 forward passes occasionally produce a NaN
+    # gradient step late in training on TPU; zero_nans drops that step
+    # instead of poisoning the whole parameter tree.
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup, max(total_steps, warmup + 1), lr * 0.1)
+    tx = optax.chain(optax.zero_nans(),
+                     optax.clip_by_global_norm(1.0),
+                     optax.adamw(sched))
     return (a_model, l_model, tx,
             TrainState(params, tx.init(params), jnp.int32(0)))
 

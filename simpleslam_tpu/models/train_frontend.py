@@ -47,7 +47,8 @@ def main(argv=None) -> int:
     H, W = a.hw
     a_model, l_model, tx, state = train_mod.make_train_state(
         jax.random.PRNGKey(a.seed), lr=a.lr, desc_dim=DESC_DIM,
-        n_kp=a.points, dim=DIM, n_layers=N_LAYERS, image_hw=(H, W))
+        n_kp=a.points, dim=DIM, n_layers=N_LAYERS, image_hw=(H, W),
+        total_steps=a.steps)
     step_fn = train_mod.make_train_step(a_model, l_model, tx, (H, W))
 
     key = jax.random.PRNGKey(a.seed + 1)

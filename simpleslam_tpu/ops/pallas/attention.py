@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -92,9 +94,35 @@ def xla_masked_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       preferred_element_type=jnp.float32)
 
 
+@jax.custom_vjp
+def _pallas_attention_diff(q, k, v, mask_k):
+    """Pallas forward with an XLA-derived backward (the hand-written kernel
+    has no VJP; training differentiates the mathematically identical XLA
+    formulation — standard custom-VJP pattern from the Pallas guide)."""
+    return pallas_masked_attention(q, k, v, mask_k)
+
+
+def _pad_fwd(q, k, v, mask_k):
+    return pallas_masked_attention(q, k, v, mask_k), (q, k, v, mask_k)
+
+
+def _pad_bwd(res, g):
+    q, k, v, mask_k = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: xla_masked_attention(q_, k_, v_,
+                                                             mask_k),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    dm = np.zeros(mask_k.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dm
+
+
+_pallas_attention_diff.defvjp(_pad_fwd, _pad_bwd)
+
+
 def masked_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      mask_k: jax.Array) -> jax.Array:
-    """Backend dispatch: Pallas kernel on TPU, XLA einsum elsewhere."""
+    """Backend dispatch: Pallas kernel on TPU (differentiable via the XLA
+    backward), XLA einsum elsewhere."""
     if jax.default_backend() == "tpu":
-        return pallas_masked_attention(q, k, v, mask_k)
+        return _pallas_attention_diff(q, k, v, mask_k)
     return xla_masked_attention(q, k, v, mask_k)
