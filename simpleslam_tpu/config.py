@@ -93,6 +93,13 @@ class SLAMConfig:
     mesh_devices: int = 0                  # 0 => all available devices
     jit_tracking: bool = True
     seed: int = 0
+    fused: bool = False                    # device-resident fused tracking loop
+    fused_sync_every: int = 0              # 0 => sync host map only at KF events
+    trace_dir: str = ""                    # jax profiler trace output dir
+    prefetch: int = 1                      # threaded frame prefetch depth (0=off)
+    save_state: str = ""                   # serialize pipeline state here at end/SIGINT
+    resume: str = ""                       # resume pipeline state from this file
+    viz_ba: bool = False                   # show before/after-BA reprojection overlays
 
     # ------------------------------------------------------------------ api
     @property
@@ -212,6 +219,24 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.compute_dtype)
     g.add_argument("--mesh_devices", type=int, default=d.mesh_devices)
     g.add_argument("--seed", type=int, default=d.seed)
+    g.add_argument("--fused", action="store_true",
+                   help="Run the device-resident fused tracking loop "
+                        "(one jitted program per frame, host reads scalars "
+                        "only at keyframe syncs)")
+    g.add_argument("--fused_sync_every", type=int, default=d.fused_sync_every,
+                   help="Force a host sync every N frames in --fused mode "
+                        "(0 = only at keyframe events)")
+    g.add_argument("--trace_dir", default=d.trace_dir,
+                   help="Write a jax profiler trace here (open with xprof)")
+    g.add_argument("--prefetch", type=int, default=d.prefetch,
+                   help="Threaded frame prefetch depth (0 = synchronous)")
+    g.add_argument("--save_state", default=d.save_state,
+                   help="Serialize pipeline state to this file at end of run "
+                        "(and on SIGINT)")
+    g.add_argument("--resume", default=d.resume,
+                   help="Resume pipeline state from a --save_state file")
+    g.add_argument("--viz_ba", action="store_true",
+                   help="Show before/after-BA reprojection overlay windows")
     return p
 
 

@@ -1,0 +1,658 @@
+"""Device-resident fused tracking loop: the WHOLE per-frame SLAM step —
+extract -> match -> associate -> PnP -> fallback -> keyframe policy ->
+triangulation -> local BA — as ONE jitted program over a static-shape state
+pytree that never leaves the device.
+
+Why this module exists: the host-orchestrated driver (run_slam.SLAMSystem)
+mirrors the reference state machine (slam/monocular/main_revamped.py:321-614)
+with host decisions between stages. That is correct but issues many small
+dispatches with scalar readbacks per frame; on a dispatch-latency-bound link
+(and even locally, for 60+ FPS) the host round-trips dominate. Here the host
+only streams camera frames in and reads back a trajectory/flag log at the
+end (or at periodic syncs) — the TPU-native formulation of the reference's
+sequential loop.
+
+State layout (all fixed shapes, SURVEY.md §7 "functional state" design):
+  * map: positions (C,3) / alive (C,) / descriptor rings (C,R,D) / n_desc /
+    creation-KF tags, plus a per-point observation table obs_kf (C,O) i32
+    (global KF number) + obs_uv (C,O,2) — the live pipeline only ever
+    records observations at creation (bootstrap/triangulation, reference
+    landmark_utils.py:98-116, triangulation_utils.py:251-258), so O=4 slots
+    cover parity exactly.
+  * keyframes: a ring of Kw slots (pose + padded Features); slot = kf_no % Kw.
+  * trajectory/flags log: (Fcap, 4, 4) poses + per-frame scalars, written by
+    frame index, transferred to the host in ONE readback.
+
+Behavior parity is the host driver's (same thresholds, same trigger order,
+same fallbacks); divergences are those already documented for the vectorized
+ops (ops/pnp.py docstring) plus: (a) keyframes older than the Kw-slot ring
+drop out of the local-BA gauge (window_size + margin slots keeps every
+optimizable KF and its fixed anchors), (b) new landmarks per keyframe are
+capped at a static ``max_new`` (the padded match capacity bounds this
+anyway), (c) local BA optimizes the contiguous row-slice of points created
+inside the window (exactly the points with an observation in an optimizable
+KF — creation is the only place observations are recorded).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from simpleslam_tpu.core.types import Features, Matches
+from simpleslam_tpu.ops import epipolar, pnp, se3
+from simpleslam_tpu.ops.ba import BAProblem, ba_solve
+from simpleslam_tpu.ops.triangulation import (projection_matrix,
+                                              triangulate_two_view,
+                                              two_view_gates)
+
+_INF = jnp.float32(1e9)
+
+
+@struct.dataclass
+class FusedState:
+    """Everything the per-frame program reads/writes, resident on device."""
+    # current / previous camera pose (T_cw)
+    Tcw: jax.Array            # (4,4) f32
+    Tcw_prev: jax.Array       # (4,4) f32
+    # previous frame features (for prev<->cur matching)
+    prev_kpts: jax.Array      # (N,2)
+    prev_desc: jax.Array      # (N,D)
+    prev_valid: jax.Array     # (N,)
+    # keyframe ring (slot = kf_no % Kw)
+    kf_pose: jax.Array        # (Kw,4,4)
+    kf_kpts: jax.Array        # (Kw,N,2)
+    kf_desc: jax.Array        # (Kw,N,D)
+    kf_valid: jax.Array       # (Kw,N)
+    kf_frame_no: jax.Array    # (Kw,) i32 source frame number
+    kf_first_row: jax.Array   # (Kw,) i32 first map row created AT this KF
+    kf_count: jax.Array       # () i32 number of keyframes so far
+    last_kf_frame_no: jax.Array  # () i32
+    # map
+    positions: jax.Array      # (C,3) f32
+    alive: jax.Array          # (C,) bool
+    desc_ring: jax.Array      # (C,R,D)
+    n_desc: jax.Array         # (C,) i32
+    obs_kf: jax.Array         # (C,O) i32 global KF number, -1 = empty
+    obs_uv: jax.Array         # (C,O,2) f32
+    obs_n: jax.Array          # (C,) i32
+    n_points: jax.Array       # () i32
+    # frame counter + rng
+    frame_no: jax.Array       # () i32 (next frame number to process)
+    key: jax.Array            # PRNG key
+    # logs (one big readback at sync time)
+    log_pose: jax.Array       # (Fcap,4,4) f32
+    log_flags: jax.Array      # (Fcap,6) f32: [tracked, kf, n_inl, n_new,
+                              #                n_cand, ba_ran]
+    log_frame: jax.Array      # (Fcap,) i32 frame number (-1 = unused row)
+    log_n: jax.Array          # () i32 rows written
+
+
+class FusedConfig(NamedTuple):
+    """Static compile-time configuration of the fused step."""
+    img_w: int
+    img_h: int
+    n_kp: int
+    desc_dim: int
+    kf_ring: int          # Kw
+    obs_slots: int        # O
+    map_capacity: int     # C
+    max_new: int          # per-KF new-landmark cap (static)
+    ba_points: int        # L_ba window slice
+    log_capacity: int     # Fcap
+    # thresholds (baked into the jitted program)
+    ransac_thresh: float
+    ransac_hypotheses: int
+    pnp_min_inliers: int
+    proj_radius: float
+    max_hamm: float
+    max_l2: float
+    kf_cooldown: int
+    kf_min_inliers: float
+    kf_min_ratio: float
+    kf_max_disp: float
+    kf_min_rot_deg: float
+    min_depth: float
+    max_depth: float
+    tri_parallax_min_deg: float
+    tri_rep_err: float
+    local_ba_window: int
+    local_ba_min_new_points: int
+    local_ba_max_iters: int
+    ba_huber: float
+
+
+def make_fused_config(cfg, img_hw: Tuple[int, int], n_kp: int,
+                      desc_dim: int, log_capacity: int = 8192) -> FusedConfig:
+    """Build the static config from a SLAMConfig (thresholds per SURVEY §5)."""
+    H, W = int(img_hw[0]), int(img_hw[1])
+    return FusedConfig(
+        img_w=W, img_h=H, n_kp=int(n_kp), desc_dim=int(desc_dim),
+        kf_ring=max(16, int(cfg.local_ba_window) + 6),
+        obs_slots=4,
+        map_capacity=int(cfg.map_capacity),
+        max_new=min(1024, int(n_kp)),
+        ba_points=min(4096, int(cfg.map_capacity)),
+        log_capacity=int(log_capacity),
+        ransac_thresh=float(cfg.ransac_thresh),
+        ransac_hypotheses=int(cfg.ransac_hypotheses),
+        pnp_min_inliers=int(cfg.pnp_min_inliers),
+        proj_radius=float(cfg.proj_radius),
+        max_hamm=float(cfg.match_max_hamm),
+        max_l2=float(cfg.match_max_l2),
+        kf_cooldown=int(cfg.kf_cooldown),
+        kf_min_inliers=float(cfg.kf_min_inliers),
+        kf_min_ratio=float(cfg.kf_min_ratio),
+        kf_max_disp=float(cfg.kf_max_disp),
+        kf_min_rot_deg=float(cfg.kf_min_rot_deg),
+        min_depth=float(cfg.min_depth),
+        max_depth=float(cfg.max_depth),
+        tri_parallax_min_deg=float(cfg.triangulation_parallax_min_deg),
+        tri_rep_err=float(getattr(cfg, "mvt_rep_err", cfg.ransac_thresh)),
+        local_ba_window=int(cfg.local_ba_window),
+        local_ba_min_new_points=int(cfg.local_ba_min_new_points),
+        local_ba_max_iters=int(cfg.local_ba_max_iters),
+        ba_huber=float(cfg.ba_huber),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Host <-> device state conversion
+# --------------------------------------------------------------------------- #
+
+def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
+    """Build the device state from a bootstrapped host SLAMSystem
+    (run_slam.SLAMSystem after ``initialised`` went True). ``prev_feats``
+    are the features of the last processed frame (the matching anchor)."""
+    wm = system.world_map
+    kfs = system.kfs
+    N, D = fc.n_kp, fc.desc_dim
+    C, Kw, O = fc.map_capacity, fc.kf_ring, fc.obs_slots
+
+    desc0 = np.asarray(kfs[-1].feats.desc)
+    desc_dtype = desc0.dtype
+    snap = wm.snapshot(C, D, desc_dtype)
+
+    # observation table from the host map (pid order == row order)
+    obs_kf = np.full((C, O), -1, np.int32)
+    obs_uv = np.zeros((C, O, 2), np.float32)
+    obs_n = np.zeros((C,), np.int32)
+    created = np.full((C,), -1, np.int32)
+    for row, pid in enumerate(wm.points.keys()):
+        obs = wm.points[pid].observations
+        for o, (kf_idx, kp_idx, _d) in enumerate(obs[:O]):
+            if kf_idx >= len(kfs):
+                continue
+            obs_kf[row, o] = kf_idx
+            obs_uv[row, o] = np.asarray(kfs[kf_idx].feats.kpts)[kp_idx]
+        obs_n[row] = min(len(obs), O)
+        created[row] = wm.points[pid].keyframe_idx
+
+    # keyframe ring
+    kf_pose = np.tile(np.eye(4, dtype=np.float32), (Kw, 1, 1))
+    kf_kpts = np.zeros((Kw, N, 2), np.float32)
+    kf_desc = np.zeros((Kw, N, D), desc_dtype)
+    kf_valid = np.zeros((Kw, N), bool)
+    kf_frame_no = np.full((Kw,), -1, np.int32)
+    kf_first_row = np.zeros((Kw,), np.int32)
+    for kf in kfs[-Kw:]:
+        s = kf.idx % Kw
+        kf_pose[s] = np.asarray(kf.pose, np.float32)
+        kf_kpts[s] = np.asarray(kf.feats.kpts, np.float32)[:N]
+        kf_desc[s] = np.asarray(kf.feats.desc)[:N]
+        kf_valid[s] = np.asarray(kf.feats.valid)[:N]
+        kf_frame_no[s] = kf.frame_idx
+        rows = np.flatnonzero(created == kf.idx)
+        kf_first_row[s] = int(rows.min()) if rows.size else len(wm)
+
+    poses = wm.poses
+    Tcw = np.asarray(poses[-1], np.float32)
+    Tcw_prev = np.asarray(poses[-2] if len(poses) >= 2 else poses[-1],
+                          np.float32)
+
+    pf = prev_feats
+    return FusedState(
+        Tcw=jnp.asarray(Tcw), Tcw_prev=jnp.asarray(Tcw_prev),
+        prev_kpts=jnp.asarray(np.asarray(pf.kpts, np.float32)[:N]),
+        prev_desc=jnp.asarray(np.asarray(pf.desc)[:N]),
+        prev_valid=jnp.asarray(np.asarray(pf.valid)[:N]),
+        kf_pose=jnp.asarray(kf_pose), kf_kpts=jnp.asarray(kf_kpts),
+        kf_desc=jnp.asarray(kf_desc), kf_valid=jnp.asarray(kf_valid),
+        kf_frame_no=jnp.asarray(kf_frame_no),
+        kf_first_row=jnp.asarray(kf_first_row),
+        kf_count=jnp.int32(len(kfs)),
+        last_kf_frame_no=jnp.int32(system.last_kf_frame_no),
+        positions=jnp.asarray(snap["positions"]),
+        alive=jnp.asarray(snap["alive"]),
+        desc_ring=jnp.asarray(snap["desc"]),
+        n_desc=jnp.asarray(snap["n_desc"]),
+        obs_kf=jnp.asarray(obs_kf), obs_uv=jnp.asarray(obs_uv),
+        obs_n=jnp.asarray(obs_n),
+        n_points=jnp.int32(len(wm)),
+        frame_no=jnp.int32(system.frame_ids[-1] + 1),
+        key=system._key,
+        log_pose=jnp.zeros((fc.log_capacity, 4, 4), jnp.float32),
+        log_flags=jnp.zeros((fc.log_capacity, 6), jnp.float32),
+        log_frame=jnp.full((fc.log_capacity,), -1, jnp.int32),
+        log_n=jnp.int32(0),
+    )
+
+
+def sync_to_host(system, state: FusedState, fc: FusedConfig) -> dict:
+    """One big device->host readback: trajectory log + map + KF poses.
+
+    Updates the host system's world_map (poses, landmark positions) so viz /
+    ATE / serialization keep working, then returns the raw log dict.
+    """
+    host = jax.device_get({
+        "log_pose": state.log_pose, "log_flags": state.log_flags,
+        "log_frame": state.log_frame, "log_n": state.log_n,
+        "positions": state.positions, "alive": state.alive,
+        "n_points": state.n_points,
+        "kf_pose": state.kf_pose, "kf_frame_no": state.kf_frame_no,
+        "kf_count": state.kf_count,
+        "last_kf_frame_no": state.last_kf_frame_no,
+    })
+    n_log = int(host["log_n"])
+    wm = system.world_map
+    for i in range(n_log):
+        f = int(host["log_frame"][i])
+        if f < 0:
+            continue
+        is_kf = host["log_flags"][i, 1] > 0.5
+        wm.add_pose(np.asarray(host["log_pose"][i], np.float64),
+                    is_keyframe=bool(is_kf))
+        system.frame_ids.append(f)
+        if not bool(host["log_flags"][i, 0]):
+            system.tracking_lost_count += 1
+
+    # landmark positions / newly created points
+    n_pts = int(host["n_points"])
+    n_host = len(wm)
+    if n_pts > n_host:
+        new_pos = host["positions"][n_host:n_pts].astype(np.float64)
+        wm.add_points(new_pos, np.full((len(new_pos), 3), 0.7, np.float32))
+    rows = np.fromiter(wm._row.values(), np.int64, len(wm._row))
+    wm._positions[rows] = host["positions"][:len(rows)].astype(np.float64)
+    wm.version += 1
+
+    # keyframe poses (ring slots still alive)
+    kfc = int(host["kf_count"])
+    for kf in system.kfs:
+        if kf.idx >= kfc - fc.kf_ring:
+            kf.pose = np.asarray(host["kf_pose"][kf.idx % fc.kf_ring],
+                                 np.float64)
+    system.last_kf_frame_no = int(host["last_kf_frame_no"])
+    return host
+
+
+# --------------------------------------------------------------------------- #
+# The fused per-frame program
+# --------------------------------------------------------------------------- #
+
+def build_fused_step(fc: FusedConfig,
+                     K: np.ndarray,
+                     extract_fn: Callable[[jax.Array], Features],
+                     match_fn: Callable[[Features, Features], Matches],
+                     undistort_maps=None):
+    """Compile the single-dispatch per-frame program.
+
+    ``extract_fn``: jittable (H,W) f32 gray -> Features (classical or ALIKED).
+    ``match_fn``:   jittable (Features, Features) -> Matches (BF or LightGlue).
+    Returns ``step(state, image_u8) -> state`` (jitted, donates the state).
+    """
+    Kj = jnp.asarray(np.asarray(K), jnp.float32)
+    N, Kw, O, C = fc.n_kp, fc.kf_ring, fc.obs_slots, fc.map_capacity
+
+    def features_of(state) -> Features:
+        return Features(kpts=state.prev_kpts, desc=state.prev_desc,
+                        scores=jnp.zeros((N,), jnp.float32),
+                        valid=state.prev_valid)
+
+    def kf_features(state, slot) -> Features:
+        return Features(kpts=state.kf_kpts[slot], desc=state.kf_desc[slot],
+                        scores=jnp.zeros((N,), jnp.float32),
+                        valid=state.kf_valid[slot])
+
+    def match_ransac(key, f0: Features, f1: Features) -> Matches:
+        """feature_matcher + F-RANSAC filter, fully on device (the host
+        `frontend.match_with_ransac` without the scalar readbacks; keeps the
+        <8-valid-matches passthrough quirk, features_utils.py:185-200)."""
+        m = match_fn(f0, f1)
+        p0 = f0.kpts[m.idx0]
+        p1 = f1.kpts[m.idx1]
+        F, inl, ok = epipolar.find_fundamental(
+            key, p0, p1, m.valid, fc.ransac_thresh,
+            n_hyp=fc.ransac_hypotheses)
+        n = jnp.sum(m.valid.astype(jnp.int32))
+        keep_filter = (n >= 8) & ok
+        valid = jnp.where(keep_filter, m.valid & inl, m.valid)
+        return Matches(idx0=m.idx0, idx1=m.idx1, score=m.score, valid=valid)
+
+    # ---------------------------------------------------------------- track
+    def track(state, feats, matches_prev, key):
+        """PnP with essential fallback; returns (Tcw_new, tracked, n_inl,
+        n_cand, assoc, inl_mask)."""
+        T_pred = pnp.predict_pose_const_vel(state.Tcw_prev, state.Tcw)
+
+        assoc = pnp.reproject_and_match_2d3d(
+            state.positions, state.alive, state.desc_ring, state.n_desc,
+            feats.kpts, feats.desc, feats.valid, Kj, T_pred,
+            img_w=fc.img_w, img_h=fc.img_h, radius_px=fc.proj_radius,
+            max_hamm=fc.max_hamm, max_l2=fc.max_l2)
+        n_cand = jnp.sum(assoc.valid.astype(jnp.int32))
+
+        k_pnp, k_ess = jax.random.split(key)
+        pts2d = feats.kpts[assoc.kp_idx]
+        T_est, inl, n_inl, ok = pnp.solve_pnp_ransac(
+            k_pnp, state.positions, pts2d, assoc.valid, Kj,
+            fc.ransac_thresh, Tcw_init=T_pred,
+            n_hyp=fc.ransac_hypotheses)
+        use_pnp = ok & (n_inl >= fc.pnp_min_inliers) & \
+            (n_cand >= fc.pnp_min_inliers)
+
+        def fallback(_):
+            """2D-2D essential with const-velocity scale
+            (main_revamped.py:502-542); dead-reckon if E fails."""
+            p0 = state.prev_kpts[matches_prev.idx0]
+            p1 = feats.kpts[matches_prev.idx1]
+            E, e_inl, e_ok = epipolar.find_essential(
+                k_ess, p0, p1, matches_prev.valid, Kj, fc.ransac_thresh,
+                n_hyp=fc.ransac_hypotheses)
+            R, t, _good, _n = epipolar.recover_pose_essential(
+                E, p0, p1, e_inl, Kj)
+            T_rel_last = state.Tcw @ se3.T_inverse(state.Tcw_prev)
+            scale = jnp.linalg.norm(T_rel_last[:3, 3])
+            T_rel = se3.rt_to_T(R, t * scale)
+            T_fb = T_rel @ state.Tcw
+            return jnp.where(e_ok, T_fb, state.Tcw)
+
+        T_new = jax.lax.cond(use_pnp, lambda _: T_est, fallback, None)
+        return T_new, use_pnp, n_inl, n_cand, assoc, inl
+
+    def refresh_rings(state, assoc, inl, feats):
+        """Scatter this frame's PnP-inlier descriptors into the landmark
+        rings (keeps association quality as viewpoint drifts — mirrors
+        run_slam._refresh_rings)."""
+        sel = assoc.valid & inl
+        rows = jnp.arange(C, dtype=jnp.int32)
+        kp_sel = assoc.kp_idx
+        descs = feats.desc[kp_sel]                                # (C,D)
+        slots = state.n_desc % state.desc_ring.shape[1]
+        ring = state.desc_ring
+        cur = ring[rows, slots]
+        new = jnp.where(sel[:, None], descs.astype(ring.dtype), cur)
+        ring = ring.at[rows, slots].set(new)
+        n_desc = state.n_desc + sel.astype(jnp.int32)
+        return state.replace(desc_ring=ring, n_desc=n_desc)
+
+    # ------------------------------------------------------------- keyframe
+    def kf_signals(state, feats, matches):
+        """(n_inl, ratio, median flow) vs the last keyframe (masked
+        equivalents of keyframe_utils.py:72-86)."""
+        slot = (state.kf_count - 1) % Kw
+        m = matches.valid
+        n_inl = jnp.sum(m.astype(jnp.int32))
+        n_ref = jnp.maximum(
+            jnp.sum(state.kf_valid[slot].astype(jnp.int32)), 1)
+        ratio = n_inl.astype(jnp.float32) / n_ref.astype(jnp.float32)
+        d = feats.kpts[matches.idx1] - state.kf_kpts[slot][matches.idx0]
+        disp = jnp.hypot(d[:, 0], d[:, 1])
+        s = jnp.sort(jnp.where(m, disp, jnp.inf))
+        kk = jnp.maximum(n_inl, 1)
+        med = jnp.where(n_inl > 0,
+                        0.5 * (s[jnp.maximum((kk - 1) // 2, 0)]
+                               + s[jnp.maximum(kk // 2, 0)]), 0.0)
+        return n_inl, ratio, med
+
+    def triangulate_new(state, feats, kf_matches, frame_no):
+        """Triangulate prev-KF <-> new-KF matches, gate, and append the
+        survivors to the map (core/triangulate.py semantics, compaction by
+        rank-scatter instead of host loops). The new KF is the CURRENT frame
+        (slot written by the caller before this runs)."""
+        prev_slot = (state.kf_count - 1) % Kw
+        T0 = state.kf_pose[prev_slot]
+        T1 = state.Tcw
+        P0 = projection_matrix(Kj, T0)
+        P1 = projection_matrix(Kj, T1)
+        uv0 = state.kf_kpts[prev_slot][kf_matches.idx0]
+        uv1 = feats.kpts[kf_matches.idx1]
+        X = triangulate_two_view(P0, P1, uv0, uv1)
+        keep, _why = two_view_gates(
+            X, Kj, T0, T1, uv0, uv1,
+            min_depth=fc.min_depth, max_depth=fc.max_depth,
+            min_parallax_deg=fc.tri_parallax_min_deg,
+            max_reproj_px=fc.tri_rep_err)
+        keep = keep & kf_matches.valid & jnp.all(jnp.isfinite(X), axis=1)
+
+        # rank-compaction: destination row for each kept match
+        rank = jnp.cumsum(keep.astype(jnp.int32)) - 1       # (M,)
+        keep = keep & (rank < fc.max_new) & \
+            (state.n_points + rank < C)
+        dest = jnp.where(keep, state.n_points + rank, C)    # C = dump row
+        n_new = jnp.sum(keep.astype(jnp.int32))
+
+        kf_no_prev = state.kf_count - 1
+        kf_no_cur = state.kf_count
+
+        # scatter (with one dump row of padding at index C)
+        def put(arr, vals):
+            pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+            out = jnp.concatenate([arr, pad], axis=0)
+            return out.at[dest].set(vals.astype(arr.dtype))[:C]
+
+        positions = put(state.positions, X)
+        alive = put(state.alive, keep)
+        # descriptor ring: slots 0/1 = the two observing descriptors
+        ring = state.desc_ring
+        d0 = state.kf_desc[prev_slot][kf_matches.idx0]
+        d1 = feats.desc[kf_matches.idx1]
+        pad_r = jnp.zeros((1,) + ring.shape[1:], ring.dtype)
+        ring2 = jnp.concatenate([ring, pad_r], axis=0)
+        ring2 = ring2.at[dest, 0].set(d0.astype(ring.dtype))
+        ring2 = ring2.at[dest, 1].set(d1.astype(ring.dtype))
+        ring = ring2[:C]
+        n_desc = put(state.n_desc, jnp.full_like(dest, 2))
+
+        obs_kf = state.obs_kf
+        pad_o = jnp.zeros((1, O), obs_kf.dtype)
+        obs_kf2 = jnp.concatenate([obs_kf, pad_o], axis=0)
+        obs_kf2 = obs_kf2.at[dest, 0].set(kf_no_prev)
+        obs_kf2 = obs_kf2.at[dest, 1].set(kf_no_cur)
+        obs_kf = obs_kf2[:C]
+        obs_uv = state.obs_uv
+        pad_u = jnp.zeros((1, O, 2), obs_uv.dtype)
+        obs_uv2 = jnp.concatenate([obs_uv, pad_u], axis=0)
+        obs_uv2 = obs_uv2.at[dest, 0].set(uv0)
+        obs_uv2 = obs_uv2.at[dest, 1].set(uv1)
+        obs_uv = obs_uv2[:C]
+        obs_n = put(state.obs_n, jnp.full_like(dest, 2))
+
+        return state.replace(
+            positions=positions, alive=alive, desc_ring=ring, n_desc=n_desc,
+            obs_kf=obs_kf, obs_uv=obs_uv, obs_n=obs_n,
+            n_points=jnp.minimum(state.n_points + n_new, C)), n_new
+
+    # ------------------------------------------------------------- local BA
+    def local_ba(state):
+        """Sliding-window BA on the contiguous row-slice of points created
+        inside the window (ba_utils.py:146-165 semantics, fixed shapes)."""
+        L = fc.ba_points
+        kfc = state.kf_count                       # includes the new KF
+        center = kfc - 1
+        first_opt = jnp.maximum(1, center - fc.local_ba_window + 1)
+
+        # Rows created at KF >= first_opt form a contiguous slice. Start one
+        # KF earlier: points created at first_opt-1 are observed by KF
+        # first_opt-1 only (creation is the only obs site), so they become
+        # frozen padding — but points created at KF first_opt DO have a
+        # fixed-KF observation at first_opt-1, which this keeps intact.
+        lo_kf = jnp.maximum(first_opt - 1, 0)
+        row_lo = state.kf_first_row[lo_kf % Kw]
+        row_lo = jnp.clip(row_lo, 0, jnp.maximum(C - L, 0))
+
+        pts = jax.lax.dynamic_slice(state.positions, (row_lo, 0), (L, 3))
+        okf = jax.lax.dynamic_slice(state.obs_kf, (row_lo, 0), (L, O))
+        ouv = jax.lax.dynamic_slice(state.obs_uv, (row_lo, 0, 0), (L, O, 2))
+        aliv = jax.lax.dynamic_slice(state.alive, (row_lo,), (L,))
+        rowid = row_lo + jnp.arange(L)
+        in_map = rowid < state.n_points
+
+        # cameras = the Kw ring slots; free = global kf in [first_opt, center]
+        slots = jnp.arange(Kw)
+        # global kf number occupying each slot: largest kf_no < kfc with
+        # kf_no % Kw == slot
+        kf_no_of_slot = (kfc - 1) - ((kfc - 1 - slots) % Kw)
+        slot_live = (kf_no_of_slot >= 0) & (kf_no_of_slot >= kfc - Kw)
+        cam_free = slot_live & (kf_no_of_slot >= first_opt) & \
+            (kf_no_of_slot <= center)
+
+        # edges: (L*O,)
+        e_kf = okf.reshape(-1)
+        e_uv = ouv.reshape(-1, 2)
+        e_pt = jnp.repeat(jnp.arange(L, dtype=jnp.int32), O)
+        e_cam = (e_kf % Kw).astype(jnp.int32)
+        e_cam = jnp.where(e_kf >= 0, e_cam, 0)
+        # valid: obs exists, KF still in ring, point live
+        kf_in_ring = (e_kf >= 0) & (e_kf > kfc - 1 - Kw) & (e_kf < kfc)
+        e_valid = kf_in_ring & aliv[e_pt] & in_map[e_pt]
+
+        # points participate iff they have >= 1 edge to a free camera
+        pt_has_opt = jnp.zeros((L,), bool).at[e_pt].max(
+            e_valid & cam_free[e_cam])
+        pt_free = pt_has_opt & aliv & in_map
+        e_live = e_valid & pt_free[e_pt]
+
+        # a free camera with (almost) no live edges would make the Schur
+        # system singular — pin it instead
+        cam_edges = jnp.zeros((Kw,), jnp.int32).at[e_cam].add(
+            e_live.astype(jnp.int32))
+        cam_free = cam_free & (cam_edges >= 3)
+
+        prob = BAProblem(
+            poses=state.kf_pose, points=pts,
+            cam_idx=e_cam, pt_idx=e_pt, uv=e_uv,
+            e_valid=e_live,
+            cam_free=cam_free, pt_free=pt_free)
+        new_poses, new_points, _c0, _c1, _ng = ba_solve(
+            prob, Kj, huber=fc.ba_huber, max_iters=fc.local_ba_max_iters)
+
+        positions = jax.lax.dynamic_update_slice(
+            state.positions,
+            jnp.where(pt_free[:, None], new_points, pts), (row_lo, 0))
+        kf_pose = jnp.where(cam_free[:, None, None], new_poses,
+                            state.kf_pose)
+        # the current frame IS the newest KF: adopt its refined pose
+        cur_slot = center % Kw
+        return state.replace(positions=positions, kf_pose=kf_pose,
+                             Tcw=kf_pose[cur_slot])
+
+    # ------------------------------------------------------------ the step
+    def maybe_keyframe(state, feats, img, frame_no, key):
+        """Keyframe policy + triangulation + BA (select_keyframe +
+        triangulate + local BA of the host driver, on device)."""
+        prev_slot = (state.kf_count - 1) % Kw
+        age = frame_no - state.last_kf_frame_no
+        rot = se3.rotation_angle_deg(
+            state.Tcw[:3, :3] @ state.kf_pose[prev_slot][:3, :3].T)
+        consider = (age > fc.kf_cooldown) | (rot >= fc.kf_min_rot_deg)
+
+        def evaluate(_):
+            kf_m = match_ransac(key, kf_features(state, prev_slot), feats)
+            n_inl, ratio, med = kf_signals(state, feats, kf_m)
+            weak = (n_inl < fc.kf_min_inliers) | (ratio < fc.kf_min_ratio)
+            is_kf = (age > fc.kf_cooldown) | weak | \
+                (med > fc.kf_max_disp) | (rot > fc.kf_min_rot_deg)
+            return is_kf, kf_m
+
+        def skip(_):
+            return jnp.asarray(False), Matches(
+                idx0=jnp.zeros((N,), jnp.int32),
+                idx1=jnp.zeros((N,), jnp.int32),
+                score=jnp.zeros((N,), jnp.float32),
+                valid=jnp.zeros((N,), bool))
+
+        is_kf, kf_m = jax.lax.cond(consider, evaluate, skip, None)
+
+        def do_kf(state):
+            # append the new keyframe to the ring
+            slot = state.kf_count % Kw
+            state = state.replace(
+                kf_pose=state.kf_pose.at[slot].set(state.Tcw),
+                kf_kpts=state.kf_kpts.at[slot].set(feats.kpts),
+                kf_desc=state.kf_desc.at[slot].set(
+                    feats.desc.astype(state.kf_desc.dtype)),
+                kf_valid=state.kf_valid.at[slot].set(feats.valid),
+                kf_frame_no=state.kf_frame_no.at[slot].set(frame_no),
+                kf_first_row=state.kf_first_row.at[slot].set(state.n_points),
+            )
+            state, n_new = triangulate_new(state, feats, kf_m, frame_no)
+            state = state.replace(
+                kf_count=state.kf_count + 1,
+                last_kf_frame_no=frame_no)
+            run_ba = (n_new >= fc.local_ba_min_new_points) & \
+                (state.kf_count >= 2)
+            state = jax.lax.cond(run_ba, local_ba, lambda s: s, state)
+            return state, n_new, run_ba
+
+        def no_kf(state):
+            return state, jnp.int32(0), jnp.asarray(False)
+
+        state, n_new, ba_ran = jax.lax.cond(is_kf, do_kf, no_kf, state)
+        return state, is_kf, n_new, ba_ran
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: FusedState, image: jax.Array) -> FusedState:
+        """Process one frame fully on device. ``image``: (H,W) or (H,W,3)
+        uint8/float; undistortion applied when maps were built."""
+        img = image
+        if img.ndim == 3:
+            w = jnp.asarray([0.114, 0.587, 0.299], jnp.float32)  # BGR
+            img = jnp.tensordot(img.astype(jnp.float32), w, axes=([-1], [0]))
+        else:
+            img = img.astype(jnp.float32)
+        if undistort_maps is not None:
+            from simpleslam_tpu.ops.projection import remap_bilinear
+            img = remap_bilinear(img, undistort_maps[0], undistort_maps[1])
+
+        frame_no = state.frame_no
+        key, k_match, k_track, k_kf = jax.random.split(state.key, 4)
+
+        feats = extract_fn(img)
+        prev = features_of(state)
+        matches_prev = match_ransac(k_match, prev, feats)
+
+        T_new, tracked, n_inl, n_cand, assoc, inl = track(
+            state, feats, matches_prev, k_track)
+
+        state = state.replace(Tcw_prev=state.Tcw, Tcw=T_new)
+        state = jax.lax.cond(
+            tracked, lambda s: refresh_rings(s, assoc, inl, feats),
+            lambda s: s, state)
+
+        state, is_kf, n_new, ba_ran = maybe_keyframe(
+            state, feats, img, frame_no, k_kf)
+
+        # log
+        i = state.log_n % fc.log_capacity
+        flags = jnp.stack([
+            tracked.astype(jnp.float32), is_kf.astype(jnp.float32),
+            n_inl.astype(jnp.float32), n_new.astype(jnp.float32),
+            n_cand.astype(jnp.float32), ba_ran.astype(jnp.float32)])
+        state = state.replace(
+            log_pose=state.log_pose.at[i].set(state.Tcw),
+            log_flags=state.log_flags.at[i].set(flags),
+            log_frame=state.log_frame.at[i].set(frame_no),
+            log_n=state.log_n + 1,
+            prev_kpts=feats.kpts,
+            prev_desc=feats.desc.astype(state.prev_desc.dtype),
+            prev_valid=feats.valid,
+            frame_no=frame_no + 1,
+            key=key)
+        return state
+
+    return step

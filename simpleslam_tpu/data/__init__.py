@@ -11,5 +11,6 @@ from .dataloader import (  # noqa: F401
     load_stereo_paths,
     load_calibration,
     load_groundtruth,
+    Prefetcher,
     Sequence,
 )

@@ -345,3 +345,72 @@ class Sequence:
     @property
     def D(self) -> Optional[np.ndarray]:
         return self.calib.get("D_l")
+
+
+class Prefetcher:
+    """Overlap frame load (+ optional device upload) with compute.
+
+    SURVEY.md §7 hard-part (d): pipeline the next frame's load while the
+    current frame is being tracked. Two layers:
+      * a NATIVE readahead thread (simpleslam_tpu.native.FilePrefetcher /
+        prefetch.cpp) pulls upcoming files through the OS page cache;
+      * a Python worker thread decodes and (optionally) ``jax.device_put``s
+        up to ``depth`` frames ahead into a bounded queue, so the tracking
+        loop never blocks on imread or the host->device link.
+
+    Usage: ``for idx, frame in Prefetcher(seq, transform=jnp.asarray): ...``
+    """
+
+    def __init__(self, seq: "Sequence", depth: int = 2, start: int = 0,
+                 transform=None):
+        import queue
+        import threading
+
+        self.seq = seq
+        self.depth = max(1, int(depth))
+        self.start = int(start)
+        self.transform = transform
+        self._q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        self._stop = False
+
+        paths = [f for f in seq.frames[self.start:] if isinstance(f, str)]
+        self._native = None
+        if paths:
+            try:
+                from simpleslam_tpu.native import FilePrefetcher
+                self._native = FilePrefetcher(paths)
+            except Exception:
+                self._native = None
+
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self) -> None:
+        try:
+            for i in range(self.start, len(self.seq)):
+                if self._stop:
+                    break
+                img = self.seq.frame(i)
+                if self.transform is not None:
+                    img = self.transform(img)
+                self._q.put((i, img))
+        finally:
+            self._q.put((None, None))
+
+    def __iter__(self):
+        while True:
+            i, img = self._q.get()
+            if i is None:
+                break
+            yield i, img
+
+    def close(self) -> None:
+        self._stop = True
+        if self._native is not None:
+            self._native.stop()
+        # drain so the worker can exit
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass

@@ -40,6 +40,14 @@ def _load():
         lib.slam_lz4_decompress.restype = ctypes.c_size_t
         lib.slam_lz4_decompress.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]
+        try:
+            lib.slam_prefetch_start.restype = ctypes.c_void_p
+            lib.slam_prefetch_start.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int]
+            lib.slam_prefetch_stop.restype = None
+            lib.slam_prefetch_stop.argtypes = [ctypes.c_void_p]
+        except Exception:
+            pass  # stale .so without the prefetcher; lz4 still works
         _LIB = lib
     except Exception:
         _LIB = False  # toolchain unavailable; zlib fallback
@@ -61,6 +69,40 @@ def compress(data: bytes) -> bytes:
         if n:
             return _TAG_LZ4 + header + out.raw[:n]
     return _TAG_ZLIB + header + zlib.compress(data, 6)
+
+
+class FilePrefetcher:
+    """Background readahead of an upcoming file list (native thread).
+
+    Wraps prefetch.cpp's ``slam_prefetch_start/stop``: pulls the files
+    through the OS page cache ahead of the decoder. No-op (but safe) when
+    the native library is unavailable.
+    """
+
+    def __init__(self, paths):
+        self._handle = None
+        lib = _load()
+        if not lib or not hasattr(lib, "slam_prefetch_start"):
+            return
+        paths = [p for p in paths if isinstance(p, str)]
+        if not paths:
+            return
+        arr = (ctypes.c_char_p * len(paths))(
+            *[p.encode() for p in paths])
+        self._lib = lib
+        self._handle = lib.slam_prefetch_start(arr, len(paths))
+        self._keepalive = arr
+
+    def stop(self) -> None:
+        if self._handle:
+            self._lib.slam_prefetch_stop(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.stop()
+        except Exception:
+            pass
 
 
 def decompress(blob: bytes) -> bytes:

@@ -23,6 +23,14 @@ def make_mesh(n_devices: int = 0, tp: Optional[int] = None,
     """
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"make_mesh: asked for {n} devices but only {len(devs)} are "
+            f"visible on platform '{devs[0].platform}'. For a virtual mesh, "
+            f"start the process with JAX_PLATFORMS=cpu and XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n} (plus "
+            f"jax.config.update('jax_platforms','cpu') on this machine), or "
+            f"use __graft_entry__.dryrun_multichip which bootstraps one.")
     devs = devs[:n]
     if tp is None:
         tp = 2 if n % 2 == 0 and n > 1 else 1

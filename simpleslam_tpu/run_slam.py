@@ -48,6 +48,7 @@ from simpleslam_tpu.core.triangulate import triangulate_between_kfs_2view
 from simpleslam_tpu.data import Sequence
 from simpleslam_tpu.ops import epipolar, pnp, projection, se3
 from simpleslam_tpu.tools.trajectory_eval import ate_rmse
+from simpleslam_tpu.utils.profiling import StageTimer, jax_trace
 from simpleslam_tpu.viz import Trajectory2D, Visualizer3D, VizUI
 
 logger = logging.getLogger("main")
@@ -96,6 +97,7 @@ class SLAMSystem:
                  img_hw: Optional[tuple] = None):
         self.cfg = cfg
         self.K = np.asarray(K, np.float64)
+        self.timer = StageTimer()
         self.detector, self.matcher = frontend.init_feature_pipeline(cfg)
         self.world_map = Map()
         self.kfs: List[Keyframe] = []
@@ -326,19 +328,21 @@ class SLAMSystem:
 
         new_ids = []
         if len(self.kfs) >= 2:
-            new_ids = triangulate_between_kfs_2view(
-                cfg, self.K, self.kfs[-2], self.kfs[-1], self.world_map,
-                self.matcher,
-                parallax_min_deg=cfg.triangulation_parallax_min_deg,
-                key=self._next_key())
+            with self.timer.stage("triangulate"):
+                new_ids = triangulate_between_kfs_2view(
+                    cfg, self.K, self.kfs[-2], self.kfs[-1], self.world_map,
+                    self.matcher,
+                    parallax_min_deg=cfg.triangulation_parallax_min_deg,
+                    key=self._next_key())
         if len(new_ids) >= cfg.local_ba_min_new_points and len(self.kfs) >= 2:
             try:
-                local_bundle_adjustment(
-                    self.world_map, self.K, self.kfs,
-                    center_kf_idx=len(self.kfs) - 1,
-                    window_size=cfg.local_ba_window,
-                    max_points=cfg.local_ba_max_points,
-                    max_iters=cfg.local_ba_max_iters)
+                with self.timer.stage("local_ba"):
+                    local_bundle_adjustment(
+                        self.world_map, self.K, self.kfs,
+                        center_kf_idx=len(self.kfs) - 1,
+                        window_size=cfg.local_ba_window,
+                        max_points=cfg.local_ba_max_points,
+                        max_iters=cfg.local_ba_max_iters)
             except Exception as e:  # BA must never kill tracking (parity)
                 logger.warning("[Local BA] failed: %s", e)
         return len(new_ids)
@@ -346,28 +350,74 @@ class SLAMSystem:
     # ------------------------------------------------------------ main step
     def process_frame(self, frame_idx: int, img: np.ndarray,
                       prev_feats: Optional[Features]) -> Features:
-        img = self.preprocess(img)
+        with self.timer.stage("preprocess"):
+            img = self.preprocess(img)
         if self.img_hw is None:
             self.img_hw = img.shape[:2]
-        feats = self.extract(img)
+        with self.timer.stage("extract"):
+            feats = self.extract(img)
         if prev_feats is None:
             if not self.initialised:
                 self.bs.seed(frame_idx, feats, img)
             return feats
 
         if not self.initialised:
-            self._try_bootstrap(frame_idx, img, feats)
+            with self.timer.stage("bootstrap"):
+                self._try_bootstrap(frame_idx, img, feats)
             return feats
 
-        matches_prev = self.match(prev_feats, feats)
-        self._track(frame_idx, feats, prev_feats, matches_prev)
-        self._maybe_keyframe(frame_idx, img, feats)
+        with self.timer.stage("match_prev"):
+            matches_prev = self.match(prev_feats, feats)
+        with self.timer.stage("track"):
+            self._track(frame_idx, feats, prev_feats, matches_prev)
+        with self.timer.stage("keyframe"):
+            self._maybe_keyframe(frame_idx, img, feats)
 
         # Global BA milestone — scaffolded but DISABLED, like the reference
         # (main_revamped.py:597-614).
         if self.cfg.gba_every and frame_idx % self.cfg.gba_every == 0:
             pass
         return feats
+
+
+def _run_fused_loop(cfg: SLAMConfig, seq: Sequence, system: "SLAMSystem",
+                    prev_feats: Features, start_idx: int) -> None:
+    """Device-resident tracking for frames [start_idx, len(seq)): one jitted
+    dispatch per frame, no host readbacks until the final sync (core/fused).
+    Host work per frame = decode + upload, overlapped by the Prefetcher."""
+    from simpleslam_tpu.core.fused import (build_fused_step,
+                                           make_fused_config,
+                                           state_from_host, sync_to_host)
+    from simpleslam_tpu.data.dataloader import Prefetcher
+
+    desc = np.asarray(prev_feats.desc)
+    log_cap = 1 << max(10, (len(seq)).bit_length())
+    fc = make_fused_config(cfg, system.img_hw,
+                           n_kp=int(prev_feats.kpts.shape[0]),
+                           desc_dim=int(desc.shape[1]), log_capacity=log_cap)
+    step = build_fused_step(fc, system.K, system.detector.fn,
+                            system.matcher.fn, system._undistort_maps)
+    state = state_from_host(system, fc, prev_feats)
+
+    pf = Prefetcher(seq, depth=max(1, cfg.prefetch), start=start_idx,
+                    transform=jnp.asarray)
+    sync_every = int(cfg.fused_sync_every)
+    with system.timer.stage("fused_loop"):
+        n_dispatched = 0
+        for i, img in pf:
+            with system.timer.stage("fused_dispatch"):
+                state = step(state, img)
+            n_dispatched += 1
+            if sync_every and n_dispatched % sync_every == 0:
+                with system.timer.stage("fused_sync"):
+                    # partial sync: force the pose log so far (observes all
+                    # dispatches; keeps divergence bounded for live viz)
+                    _ = np.asarray(state.Tcw)
+        pf.close()
+    with system.timer.stage("fused_sync"):
+        host = sync_to_host(system, state, fc)
+    system.kf_count_override = int(host["kf_count"])
+    system._key = state.key
 
 
 def run(cfg: SLAMConfig) -> SLAMResult:
@@ -402,8 +452,30 @@ def run(cfg: SLAMConfig) -> SLAMResult:
     t_start = time.perf_counter()
     prev_feats = system.process_frame(0, img0, None)
     n = len(seq)
-    for frame_idx in range(1, n):
-        img = seq.frame(frame_idx)
+    frame_idx = 0
+    if cfg.fused:
+        # host-orchestrated bootstrap (runs once), then hand the whole loop
+        # to the device-resident fused program
+        for frame_idx in range(1, n):
+            with system.timer.stage("frame_load"):
+                img = seq.frame(frame_idx)
+            prev_feats = system.process_frame(frame_idx, img, prev_feats)
+            if system.initialised:
+                break
+        if system.initialised and frame_idx + 1 < n:
+            _run_fused_loop(cfg, seq, system, prev_feats, frame_idx + 1)
+        if system.initialised and system.world_map.poses:
+            while len(traj2d.est) < len(system.world_map.poses):
+                i = len(traj2d.est)
+                fid = (system.frame_ids[i]
+                       if i < len(system.frame_ids) else frame_idx)
+                traj2d.push(fid, system.world_map.poses[i])
+        n_loop_frames = 0
+    else:
+        n_loop_frames = n
+    for frame_idx in range(1, n_loop_frames):
+        with system.timer.stage("frame_load"):
+            img = seq.frame(frame_idx)
         prev_feats = system.process_frame(frame_idx, img, prev_feats)
 
         if system.initialised and system.world_map.poses:
@@ -428,7 +500,7 @@ def run(cfg: SLAMConfig) -> SLAMResult:
     res = SLAMResult(
         poses_cw=list(system.world_map.poses),
         frame_ids=list(system.frame_ids),
-        n_keyframes=len(system.kfs),
+        n_keyframes=getattr(system, "kf_count_override", 0) or len(system.kfs),
         n_landmarks=len(system.world_map),
         fps=(n / dt) if dt > 0 else 0.0,
         n_frames=n,
@@ -452,6 +524,14 @@ def run(cfg: SLAMConfig) -> SLAMResult:
     logger.info("done: %d frames, %.2f FPS, %d KFs, %d landmarks, %d lost",
                 res.n_frames, res.fps, res.n_keyframes, res.n_landmarks,
                 res.tracking_lost_count)
+    # Per-stage breakdown (SURVEY.md §5: per-stage FPS counters for the
+    # >=60 FPS north star). 'keyframe' wholly contains the 'triangulate' and
+    # 'local_ba' rows; 'host-gap' is loop time none of the stages account for.
+    accounted = sum(t for nm, t in system.timer.totals.items()
+                    if nm not in ("triangulate", "local_ba"))
+    system.timer.totals["host-gap"] = max(dt - accounted, 0.0)
+    system.timer.counts["host-gap"] = n
+    logger.info("per-stage breakdown:\n%s", system.timer.report())
     return res
 
 
