@@ -1,12 +1,15 @@
-"""Benchmark: ALIKED + LightGlue frame-pair throughput on KITTI-sized frames.
+"""Benchmark: END-TO-END fused SLAM throughput on KITTI-sized frames (the
+BASELINE.md north star: >= 60 FPS end-to-end ALIKED+LightGlue SLAM on one
+TPU chip), plus component metrics on stderr.
 
-This is the reference pipeline's hot path (SURVEY.md §3: ALIKED forward per
-frame + LightGlue forward per pair dominate) and the BASELINE.md north-star
-metric: >= 60 FPS end-to-end ALIKED+LightGlue on KITTI-00 on one TPU v5e.
-Here we measure the steady-state jitted extract+match rate on synthetic
-KITTI-resolution frames (no real datasets on this machine); the geometry
-stages (PnP/triangulation/BA) amortize over keyframes and are benched in
-tests/benches separately.
+Headline: the device-resident fused loop (core/fused.py) — extract + match +
+associate + PnP + fallback + keyframe policy + triangulation + local BA, one
+dispatch per frame — run over synthetic KITTI-resolution frames after a host
+bootstrap. Keyframe bursts and BA solves INSIDE the timed region, so this is
+the number the reference's per-frame loop (main_revamped.py:321-614) maps to.
+
+Components (stderr): ALIKED+LightGlue extract+match streaming rate, and
+local-BA solves/s at the reference window scale.
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/60}
@@ -23,6 +26,104 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def bench_e2e_fused(small: bool, use_learned: bool = True, extra_argv=()):
+    """End-to-end fused SLAM FPS on synthetic KITTI-resolution frames.
+
+    Host bootstrap (untimed, runs once like the reference's init phase),
+    then the fused device loop over the remaining frames. Timed round runs
+    on a freshly re-uploaded copy of the post-bootstrap state with all
+    programs already compiled; the digest transfer at the end forces every
+    dispatch (axon platform: block_until_ready returns early)."""
+    import jax
+    import jax.numpy as jnp
+
+    from simpleslam_tpu.config import parse_config
+    from simpleslam_tpu.core.fused import (build_fused_step,
+                                           make_fused_config,
+                                           state_from_host)
+    from simpleslam_tpu.run_slam import SLAMSystem
+    from simpleslam_tpu.tools.synth import CorridorScene, make_trajectory
+
+    if small:
+        H, W, n_kp, n_frames, cap = 180, 410, 512, 14, 2048
+    else:
+        H, W, n_kp, n_frames, cap = 376, 1232, 2048, 40, 8192
+
+    from simpleslam_tpu.tools.synth import DEFAULT_K
+
+    s = W / 1232.0                       # KITTI intrinsics scaled to hw
+    K = DEFAULT_K.copy()
+    K[0] *= s
+    K[1] *= s
+    K[1, 2] = 0.487 * H
+
+    log(f"[e2e] rendering {n_frames} synthetic frames at {H}x{W}...")
+    scene = CorridorScene(seed=0, hw=(H, W), K=K)
+    T = make_trajectory(n_frames, speed=0.5, yaw_rate_deg=0.3)
+    frames = np.stack([scene.render(T[i]) for i in range(n_frames)])
+
+    argv = ["--dataset", "kitti", "--headless", "--no_viz3d",
+            "--max_features", str(n_kp), "--map_capacity", str(cap)]
+    if use_learned:
+        argv += ["--use_lightglue", "--min_conf", "0.3"]
+    argv += list(extra_argv)
+    cfg = parse_config(argv)
+
+    system = SLAMSystem(cfg, K, None, img_hw=(H, W))
+    prev_feats = system.process_frame(0, frames[0], None)
+    start = 1
+    while start < n_frames and not system.initialised:
+        prev_feats = system.process_frame(start, frames[start], prev_feats)
+        start += 1
+    if not system.initialised:
+        log("[e2e] bootstrap FAILED on synthetic frames; no e2e number")
+        return None
+    log(f"[e2e] bootstrapped at frame {start - 1}; "
+        f"{n_frames - start} frames for the fused loop")
+
+    fc = make_fused_config(cfg, (H, W), n_kp=int(prev_feats.kpts.shape[0]),
+                           desc_dim=int(np.asarray(prev_feats.desc).shape[1]),
+                           log_capacity=1024)
+    match_fn = getattr(system.matcher, "fn_fast", None) or system.matcher.fn
+    step = build_fused_step(fc, system.K, system.detector.fn, match_fn, None)
+    state0 = state_from_host(system, fc, prev_feats)
+    state0_host = jax.device_get(state0)
+
+    staged = [jax.device_put(jnp.asarray(frames[i]))
+              for i in range(start, n_frames)]
+    _ = [float(jnp.sum(s[0, 0])) for s in staged]
+    Krun = len(staged)
+
+    def run_once(state):
+        for img in staged:
+            state = step(state, img)
+        digest = (jnp.sum(state.log_pose) + jnp.sum(state.log_flags)
+                  + jnp.sum(state.positions))
+        return state, float(digest)
+
+    log("[e2e] compile + warm-up round...")
+    t0 = time.perf_counter()
+    state, digest = run_once(state0)
+    log(f"[e2e] warm-up: {time.perf_counter() - t0:.1f}s (digest {digest:.1f})")
+    kf_warm = int(np.asarray(state.kf_count))
+    lost = Krun - int(np.asarray(state.log_flags)[:, 0].sum())
+
+    best = 0.0
+    for round_ in range(2):
+        state_i = jax.tree.map(jnp.asarray, state0_host)
+        _ = float(jnp.sum(state_i.positions))     # force upload
+        t0 = time.perf_counter()
+        _, digest = run_once(state_i)
+        dt = time.perf_counter() - t0
+        best = max(best, Krun / dt)
+        log(f"[e2e] round {round_}: {Krun} frames in {dt:.3f}s "
+            f"-> {Krun / dt:.2f} frames/s")
+    log(f"[e2e] steady state {best:.2f} frames/s "
+        f"({kf_warm} KFs, {lost} lost frames, map "
+        f"{int(np.asarray(state.n_points))} pts)")
+    return best
 
 
 def main() -> int:
@@ -166,12 +267,29 @@ def main() -> int:
     except Exception as e:
         log(f"BA component bench skipped: {e}")
 
-    print(json.dumps({
-        "metric": "aliked_lightglue_streaming_fps_kitti_synth",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 60.0, 3),
-    }))
+    # ------------------------------------------------------------- headline
+    # END-TO-END fused SLAM throughput (keyframes + triangulation + BA in
+    # the timed region). Falls back to the streaming component number if the
+    # synthetic bootstrap fails (never observed; belt and braces).
+    try:
+        e2e = bench_e2e_fused(small, use_learned=True)
+    except Exception as e:
+        log(f"e2e fused bench failed: {e}")
+        e2e = None
+    if e2e is not None:
+        print(json.dumps({
+            "metric": "e2e_slam_fps_aliked_lightglue_kitti_synth",
+            "value": round(e2e, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(e2e / 60.0, 3),
+        }))
+    else:
+        print(json.dumps({
+            "metric": "aliked_lightglue_streaming_fps_kitti_synth",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 60.0, 3),
+        }))
     return 0
 
 

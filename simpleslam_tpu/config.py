@@ -237,6 +237,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Resume pipeline state from a --save_state file")
     g.add_argument("--viz_ba", action="store_true",
                    help="Show before/after-BA reprojection overlay windows")
+    g.add_argument("--match_max_hamm", type=float, default=d.match_max_hamm,
+                   help="2D-3D association gate for binary descriptors "
+                        "(reference constant, main_revamped.py:464)")
+    g.add_argument("--match_max_l2", type=float, default=d.match_max_l2,
+                   help="2D-3D association gate for float descriptors "
+                        "(reference constant, pnp_utils.py:232)")
     return p
 
 

@@ -42,6 +42,10 @@ class Matcher:
     name: str
     fn: Callable  # (Features, Features) -> Matches
     learned: bool = False
+    # order-free variant for fully-jitted consumers (the reference sorts
+    # matches by distance, features_utils.py:176-178, but nothing downstream
+    # depends on order; the sort is a real cost on TPU)
+    fn_fast: Optional[Callable] = None
 
 
 def init_feature_pipeline(args) -> Tuple[Detector, Matcher]:
@@ -83,8 +87,12 @@ def init_feature_pipeline(args) -> Tuple[Detector, Matcher]:
     def match(f0: Features, f1: Features) -> Matches:
         return bf_match(f0, f1, cross_check=True)
 
+    def match_fast(f0: Features, f1: Features) -> Matches:
+        return bf_match(f0, f1, cross_check=True, sort=False)
+
     return (Detector(name=name, max_kp=n_pad, fn=detect),
-            Matcher(name=getattr(args, "matcher", "bf"), fn=match))
+            Matcher(name=getattr(args, "matcher", "bf"), fn=match,
+                    fn_fast=match_fast))
 
 
 def feature_extractor(args, img: np.ndarray, detector: Detector) -> Features:

@@ -334,9 +334,16 @@ def build_fused_step(fc: FusedConfig,
         return Matches(idx0=m.idx0, idx1=m.idx1, score=m.score, valid=valid)
 
     # ---------------------------------------------------------------- track
-    def track(state, feats, matches_prev, key):
+    def track(state, feats, key):
         """PnP with essential fallback; returns (Tcw_new, tracked, n_inl,
-        n_cand, assoc, inl_mask)."""
+        n_cand, assoc, inl_mask).
+
+        Perf note vs the reference: main_revamped.py:328 matches prev<->cur
+        unconditionally, but in tracking state the result is consumed ONLY
+        by the 2D-2D fallback (:502-542) and the debug overlay. Here the
+        prev-match (a full matcher forward + F-RANSAC) runs INSIDE the
+        fallback branch, so healthy frames skip it entirely — identical
+        outputs, one fewer matcher forward per tracked frame."""
         T_pred = pnp.predict_pose_const_vel(state.Tcw_prev, state.Tcw)
 
         assoc = pnp.reproject_and_match_2d3d(
@@ -346,7 +353,7 @@ def build_fused_step(fc: FusedConfig,
             max_hamm=fc.max_hamm, max_l2=fc.max_l2)
         n_cand = jnp.sum(assoc.valid.astype(jnp.int32))
 
-        k_pnp, k_ess = jax.random.split(key)
+        k_pnp, k_match, k_ess = jax.random.split(key, 3)
         pts2d = feats.kpts[assoc.kp_idx]
         T_est, inl, n_inl, ok = pnp.solve_pnp_ransac(
             k_pnp, state.positions, pts2d, assoc.valid, Kj,
@@ -358,6 +365,7 @@ def build_fused_step(fc: FusedConfig,
         def fallback(_):
             """2D-2D essential with const-velocity scale
             (main_revamped.py:502-542); dead-reckon if E fails."""
+            matches_prev = match_ransac(k_match, features_of(state), feats)
             p0 = state.prev_kpts[matches_prev.idx0]
             p1 = feats.kpts[matches_prev.idx1]
             E, e_inl, e_ok = epipolar.find_essential(
@@ -620,14 +628,12 @@ def build_fused_step(fc: FusedConfig,
             img = remap_bilinear(img, undistort_maps[0], undistort_maps[1])
 
         frame_no = state.frame_no
-        key, k_match, k_track, k_kf = jax.random.split(state.key, 4)
+        key, k_track, k_kf = jax.random.split(state.key, 3)
 
         feats = extract_fn(img)
-        prev = features_of(state)
-        matches_prev = match_ransac(k_match, prev, feats)
 
         T_new, tracked, n_inl, n_cand, assoc, inl = track(
-            state, feats, matches_prev, k_track)
+            state, feats, k_track)
 
         state = state.replace(Tcw_prev=state.Tcw, Tcw=T_new)
         state = jax.lax.cond(

@@ -165,24 +165,25 @@ MatchFn = Callable[[Features, Features], Matches]
 
 def select_keyframe(
     cfg,
-    seq,
-    frame_idx: int,
+    frame_no: int,
     img2: Optional[np.ndarray],
     feats2: Features,
     Tcw_curr: Optional[np.ndarray],
     match_fn: MatchFn,
     kfs: List[Keyframe],
     last_kf_frame_no: int,
+    path: str = "",
 ) -> Tuple[List[Keyframe], int]:
-    """Maybe promote frame ``frame_idx + 1`` to a keyframe.
+    """Maybe promote frame ``frame_no`` to a keyframe.
 
     Mirrors reference keyframe_utils.select_keyframe (:98-172): the cooldown
     fast-path skips the expensive KF<->frame matching when inside cooldown
     and below the rotation gate; otherwise matches against the last KF
     (``match_fn`` must include the F-RANSAC geometric filter) and applies
-    :func:`is_new_keyframe`.
+    :func:`is_new_keyframe`. ``path`` is the source file recorded on the
+    keyframe ("" for in-memory frames) — the reference took the whole
+    sequence list just to read this one entry (keyframe_utils.py:166).
     """
-    frame_no = frame_idx + 1
     if not kfs:
         return kfs, last_kf_frame_no
 
@@ -208,7 +209,6 @@ def select_keyframe(
         last_kf_frame_no=last_kf_frame_no,
     ):
         thumb = make_thumb(img2, tuple(cfg.kf_thumb_hw)) if img2 is not None else b""
-        path = seq[frame_idx + 1] if isinstance(seq[frame_idx + 1], str) else ""
         kfs.append(Keyframe(len(kfs), frame_no, path, feats2,
                             np.asarray(Tcw_curr) if Tcw_curr is not None else np.eye(4),
                             thumb))

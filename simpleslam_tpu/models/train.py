@@ -145,6 +145,112 @@ def synthetic_pair_batch(key, B: int, H: int, W: int, G: int):
 
 
 # --------------------------------------------------------------------------- #
+# Scene-pair batches (domain-matched: real viewpoint changes + parallax)
+# --------------------------------------------------------------------------- #
+
+class ScenePairPool:
+    """Pre-rendered pool of (image, world-hit-point, depth) views of a
+    textured 3-D scene; batches sample nearby-view pairs with EXACT raycast
+    correspondences (occlusion-checked). Homography warps of noise images
+    (synthetic_pair_batch) have no parallax and no scene structure — this
+    pool closes that domain gap for the front-end the SLAM pipeline runs.
+    """
+
+    def __init__(self, hw, n_views: int = 160, seed: int = 0,
+                 n_scenes: int = 4):
+        from simpleslam_tpu.tools.synth import (CorridorScene, DEFAULT_K,
+                                                make_trajectory)
+        H, W = hw
+        s = W / 1232.0
+        K = DEFAULT_K.copy()
+        K[0] *= s
+        K[1] *= s
+        K[1, 2] = 0.487 * H
+        self.K = K.astype(np.float64)
+        self.hw = (H, W)
+        rng = np.random.default_rng(seed)
+        self.imgs, self.pts, self.depth, self.poses = [], [], [], []
+        per = max(2, n_views // n_scenes)
+        for sc in range(n_scenes):
+            scene = CorridorScene(seed=seed + sc, hw=(H, W), K=K)
+            T = make_trajectory(per, speed=float(rng.uniform(0.2, 0.8)),
+                                yaw_rate_deg=float(rng.uniform(0.0, 0.8)))
+            for i in range(per):
+                img, hit, t = scene.render_with_geometry(T[i])
+                self.imgs.append(img)
+                self.pts.append(hit.astype(np.float32))
+                self.depth.append(t.astype(np.float32))
+                self.poses.append(T[i].astype(np.float64))
+        self.n = len(self.imgs)
+
+    def batch(self, rng: np.random.Generator, B: int, G: int,
+              max_gap: int = 4) -> Dict[str, np.ndarray]:
+        """Correspondence-labelled view pairs, same dict layout as
+        synthetic_pair_batch (Hmats omitted)."""
+        H, W = self.hw
+        K = self.K
+        img0 = np.zeros((B, H, W, 1), np.float32)
+        img1 = np.zeros((B, H, W, 1), np.float32)
+        pts0 = np.zeros((B, G, 2), np.float32)
+        pts1 = np.zeros((B, G, 2), np.float32)
+        valid = np.zeros((B, G), bool)
+        m = 6
+        for b in range(B):
+            i = int(rng.integers(0, self.n))
+            j = int(np.clip(i + rng.integers(1, max_gap + 1)
+                            * (1 if rng.random() < 0.5 else -1), 0, self.n - 1))
+            if j == i:
+                j = min(i + 1, self.n - 1)
+            img0[b, ..., 0] = self.imgs[i] / 255.0
+            img1[b, ..., 0] = self.imgs[j] / 255.0
+
+            # sample view-0 pixels (integer centers: the raycast hit points
+            # are exact AT pixel centers), project into view 1
+            xs = rng.integers(m, W - m, 4 * G).astype(np.float32)
+            ys = rng.integers(m, H - m, 4 * G).astype(np.float32)
+            Xw = self.pts[i][ys.astype(int), xs.astype(int)]       # (4G,3)
+            T1_cw = np.linalg.inv(self.poses[j])
+            Xc = Xw @ T1_cw[:3, :3].T + T1_cw[:3, 3]
+            z = Xc[:, 2]
+            uv = (Xc[:, :2] / np.maximum(z[:, None], 1e-6)) \
+                * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+            inb = (z > 0.2) & (uv[:, 0] >= m) & (uv[:, 0] < W - m) \
+                & (uv[:, 1] >= m) & (uv[:, 1] < H - m)
+            # occlusion: the other view's ray depth at uv must match |Xc|
+            ui = np.clip(uv[:, 0].astype(int), 0, W - 1)
+            vi = np.clip(uv[:, 1].astype(int), 0, H - 1)
+            d1 = self.depth[j][vi, ui]
+            r1 = np.linalg.norm(Xc, axis=1)
+            vis = inb & (np.abs(d1 - r1) < 0.15 * np.maximum(r1, 1.0))
+            sel = np.flatnonzero(vis)[:G]
+            k = len(sel)
+            pts0[b, :k] = np.stack([xs[sel], ys[sel]], 1)
+            pts1[b, :k] = uv[sel]
+            valid[b, :k] = True
+        return dict(img0=img0, img1=img1, pts0=pts0, pts1=pts1,
+                    pt_valid=valid)
+
+
+def photometric_augment(rng: np.random.Generator,
+                        batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Independent brightness/contrast/gamma/noise jitter per view — the
+    descriptor must survive exposure changes between frames."""
+    out = dict(batch)
+    for k in ("img0", "img1"):
+        img = np.asarray(batch[k], np.float32)
+        B = img.shape[0]
+        gain = rng.uniform(0.6, 1.4, (B, 1, 1, 1)).astype(np.float32)
+        bias = rng.uniform(-0.15, 0.15, (B, 1, 1, 1)).astype(np.float32)
+        gamma = rng.uniform(0.7, 1.4, (B, 1, 1, 1)).astype(np.float32)
+        noise = rng.normal(0, rng.uniform(0.0, 0.03),
+                           img.shape).astype(np.float32)
+        img = np.clip(img, 0, 1) ** gamma
+        img = np.clip(img * gain + bias + noise, 0.0, 1.0)
+        out[k] = img
+    return out
+
+
+# --------------------------------------------------------------------------- #
 # Loss
 # --------------------------------------------------------------------------- #
 

@@ -31,13 +31,18 @@ CKPT_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("train_frontend")
-    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--steps", type=int, default=4000)
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--hw", type=int, nargs=2, default=[96, 128])
-    p.add_argument("--points", type=int, default=48)
+    p.add_argument("--hw", type=int, nargs=2, default=[144, 256])
+    p.add_argument("--points", type=int, default=96)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--out", default=CKPT_DIR)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scene_views", type=int, default=160,
+                   help="Pre-rendered 3-D views in the scene-pair pool")
+    p.add_argument("--scene_frac", type=float, default=0.5,
+                   help="Fraction of steps trained on scene pairs (real "
+                        "viewpoint change + parallax) vs homography pairs")
     a = p.parse_args(argv)
 
     from simpleslam_tpu.models import train as train_mod
@@ -51,13 +56,25 @@ def main(argv=None) -> int:
         total_steps=a.steps)
     step_fn = train_mod.make_train_step(a_model, l_model, tx, (H, W))
 
+    print(f"rendering scene-pair pool ({a.scene_views} views at {H}x{W})...",
+          flush=True)
+    pool = train_mod.ScenePairPool((H, W), n_views=a.scene_views, seed=a.seed)
+    rng = np.random.default_rng(a.seed + 2)
+
     key = jax.random.PRNGKey(a.seed + 1)
     t0 = time.perf_counter()
     for i in range(a.steps):
-        batch = train_mod.synthetic_pair_batch(
-            jax.random.fold_in(key, i), B=a.batch, H=H, W=W, G=a.points)
+        if rng.random() < a.scene_frac:
+            batch = pool.batch(rng, a.batch, a.points)
+        else:
+            batch = train_mod.synthetic_pair_batch(
+                jax.random.fold_in(key, i), B=a.batch, H=H, W=W,
+                G=a.points)
+            batch = {k: np.asarray(v) for k, v in batch.items()
+                     if k != "Hmats"}
+        batch = train_mod.photometric_augment(rng, batch)
         state, metrics = step_fn(state, batch)
-        if i % 50 == 0 or i == a.steps - 1:
+        if i % 100 == 0 or i == a.steps - 1:
             m = {k: float(v) for k, v in metrics.items()}
             print(f"step {i:5d}  total {m['total']:.4f}  desc {m['desc']:.4f}"
                   f"  match {m['match']:.4f}  rep {m['rep']:.4f}"

@@ -161,18 +161,26 @@ def ba_solve(problem: BAProblem, K: jax.Array, *,
         wJcam = Jcam * w[:, None, None]
         wJpt = Jpt * w[:, None, None]
 
-        # normal-equation blocks
-        U = jnp.zeros((P, 6, 6), jnp.float32).at[cam_idx].add(
-            jnp.einsum("eri,erj->eij", wJcam, Jcam))
-        V = jnp.zeros((L, 3, 3), jnp.float32).at[pt_idx].add(
-            jnp.einsum("eri,erj->eij", wJpt, Jpt))
-        gc = jnp.zeros((P, 6), jnp.float32).at[cam_idx].add(
-            -jnp.einsum("eri,er->ei", wJcam, r))
-        gp = jnp.zeros((L, 3), jnp.float32).at[pt_idx].add(
-            -jnp.einsum("eri,er->ei", wJpt, r))
-        # dense camera-point coupling blocks A[i, j] (L, P, 6, 3)
-        A = jnp.zeros((L, P, 6, 3), jnp.float32).at[pt_idx, cam_idx].add(
-            jnp.einsum("eri,erj->eij", wJcam, Jpt))
+        # Normal-equation blocks via ONE-HOT MATMUL reductions. TPU scatters
+        # serialize; expressing every segment-sum as (segments x E) @ (E x k)
+        # keeps the whole assembly on the MXU. One-hot entries are exactly
+        # 0/1, so the reduction is exact in f32.
+        oh_cam = (cam_idx[:, None] == jnp.arange(P)[None, :]) \
+            .astype(jnp.float32)                                    # (E,P)
+        oh_pt = (pt_idx[:, None] == jnp.arange(L)[None, :]) \
+            .astype(jnp.float32)                                    # (E,L)
+
+        JJc = jnp.einsum("eri,erj->eij", wJcam, Jcam).reshape(-1, 36)
+        U = (oh_cam.T @ JJc).reshape(P, 6, 6)
+        JJp = jnp.einsum("eri,erj->eij", wJpt, Jpt).reshape(-1, 9)
+        V = (oh_pt.T @ JJp).reshape(L, 3, 3)
+        gc = (oh_cam.T @ -jnp.einsum("eri,er->ei", wJcam, r))       # (P,6)
+        gp = (oh_pt.T @ -jnp.einsum("eri,er->ei", wJpt, r))         # (L,3)
+        # camera-point coupling A[l, p] (L, P, 6, 3): expand the camera
+        # one-hot into the value axis, then reduce over edges by point
+        cross = jnp.einsum("eri,erj->eij", wJcam, Jpt).reshape(-1, 18)
+        Z = (oh_cam[:, :, None] * cross[:, None, :]).reshape(-1, P * 18)
+        A = (oh_pt.T @ Z).reshape(L, P, 6, 3)
 
         # LM damping (multiplicative on the diagonal, Ceres-style)
         eye6 = jnp.eye(6, dtype=jnp.float32)
@@ -213,18 +221,32 @@ def ba_solve(problem: BAProblem, K: jax.Array, *,
         points = jnp.where(accept, points_new, points)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
                         jnp.minimum(lam * 4.0, 1e6))
-        return (poses, points, lam), accept
-
-    def body(_, carry):
-        state, n_good = carry
-        state, accept = lm_step(state)
-        return state, n_good + accept.astype(jnp.int32)
+        return (poses, points, lam), accept, c_old, c_new
 
     c0 = cost_of(problem.poses, problem.points)
+
+    # LM loop with convergence early-exit: stop when max_iters is reached,
+    # after 3 consecutive rejected steps (lambda runaway), or when an
+    # accepted step improves the cost by < 1e-5 relative. Ceres stops on the
+    # same signals; on TPU the skipped iterations are real time because each
+    # LM step is a long chain of sequential kernels.
+    def cond(carry):
+        state, i, n_good, n_rej, done = carry
+        return (i < max_iters) & ~done
+
+    def body(carry):
+        state, i, n_good, n_rej, done = carry
+        state, accept, c_before, c_after = lm_step(state)
+        rel = (c_before - c_after) / jnp.maximum(c_before, 1e-12)
+        n_rej = jnp.where(accept, 0, n_rej + 1)
+        done = (n_rej >= 3) | (accept & (rel < 1e-5))
+        return (state, i + 1, n_good + accept.astype(jnp.int32), n_rej, done)
+
     state = (problem.poses.astype(jnp.float32),
              problem.points.astype(jnp.float32), jnp.float32(init_lambda))
-    (poses, points, _lam), n_good = jax.lax.fori_loop(
-        0, max_iters, body, (state, jnp.int32(0)))
+    (poses, points, _lam), _i, n_good, _r, _d = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                     jnp.asarray(False)))
     c1 = cost_of(poses, points)
     return poses, points, c0, c1, n_good
 

@@ -58,8 +58,15 @@ def _apply_h(T: jax.Array, pts: jax.Array) -> jax.Array:
 
 
 def _smallest_singular_vector(A: jax.Array) -> jax.Array:
-    """Right-singular vector of the smallest singular value of A (m, n)."""
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    """Right-singular vector of the smallest singular value of A (m, n).
+
+    Economy SVD when the system is (over)determined — for the (2N, 9) refit
+    systems a full SVD materializes a (2N, 2N) U that is thrown away, which
+    dominated the RANSAC cost on TPU. The underdetermined minimal-H case
+    (8 x 9) still needs the full factorization for the nullspace row.
+    """
+    full = A.shape[-2] < A.shape[-1]
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=full)
     return Vt[-1, :]
 
 
@@ -266,7 +273,7 @@ def essential_from_fundamental(F: jax.Array, K: jax.Array) -> jax.Array:
 
 @highest_precision
 def refine_essential_sampson(E: jax.Array, p0n: jax.Array, p1n: jax.Array,
-                             w: jax.Array, iters: int = 10) -> jax.Array:
+                             w: jax.Array, iters: int = 4) -> jax.Array:
     """Gauss-Newton refinement of an essential matrix on its 5-dof manifold
     (R in SO(3), t on the unit sphere), minimizing Sampson error over the
     weighted correspondences. Closes most of the accuracy gap between the
@@ -275,14 +282,12 @@ def refine_essential_sampson(E: jax.Array, p0n: jax.Array, p1n: jax.Array,
     """
     # initialize (R, t) from E by the cheirality vote on the weighted points
     R1, R2, t0 = decompose_essential(E)
+    ones = jnp.ones((p0n.shape[0], 1), p0n.dtype)
+    x0h = jnp.concatenate([p0n, ones], axis=1)
+    x1h = jnp.concatenate([p1n, ones], axis=1)
 
     def cheir_count(R, t):
-        eye34 = jnp.concatenate([jnp.eye(3, dtype=E.dtype),
-                                 jnp.zeros((3, 1), E.dtype)], axis=1)
-        P2 = jnp.concatenate([R, t[:, None]], axis=1)
-        X = triangulate_two_view(eye34, P2, p0n, p1n)
-        z0 = X[:, 2]
-        z1 = (X @ R.T + t)[:, 2]
+        z0, z1 = two_view_depths(R, t, x0h, x1h)
         return jnp.sum(((z0 > 0) & (z1 > 0)).astype(jnp.float32) * w)
 
     Rs = jnp.stack([R1, R1, R2, R2])
@@ -334,6 +339,31 @@ def refine_essential_sampson(E: jax.Array, p0n: jax.Array, p1n: jax.Array,
 # --------------------------------------------------------------------------- #
 
 @highest_precision
+def two_view_depths(R: jax.Array, t: jax.Array, x0h: jax.Array,
+                    x1h: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Closed-form per-correspondence depths for pose (R, t).
+
+    Solves min_z ||(R x0h) z0 - x1h z1 + t||^2 per point — a 2x2 normal
+    system in closed form. Replaces full DLT triangulation (batched 4x4
+    SVDs, the dominant cost of cheirality voting on TPU) wherever only the
+    depth SIGNS/magnitudes are needed.
+    x0h/x1h: (N, 3) homogeneous rays (K^-1 [u v 1]).
+    """
+    a = x0h @ R.T                                  # (N,3) rotated rays
+    b = x1h
+    aa = jnp.sum(a * a, axis=1)
+    bb = jnp.sum(b * b, axis=1)
+    ab = jnp.sum(a * b, axis=1)
+    at = a @ t
+    bt = b @ t
+    det = aa * bb - ab * ab
+    det = jnp.where(jnp.abs(det) < _EPS, _EPS, det)
+    z0 = (-at * bb + bt * ab) / det
+    z1 = (bt * aa - at * ab) / det
+    return z0, z1
+
+
+@highest_precision
 def decompose_essential(E: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """E -> (R1, R2, t_unit); candidate poses are (R1,t),(R1,-t),(R2,t),(R2,-t)."""
     U, _, Vt = jnp.linalg.svd(E)
@@ -364,16 +394,15 @@ def recover_pose_essential(E: jax.Array, p0: jax.Array, p1: jax.Array,
     Rs = jnp.stack([R1, R1, R2, R2])                  # (4,3,3)
     ts = jnp.stack([t, -t, t, -t])                    # (4,3)
 
-    T0 = jnp.eye(4, dtype=E.dtype)
-    P0 = projection_matrix(K, T0)
+    # closed-form two-ray depths for the cheirality vote (same accept set
+    # as DLT triangulation on clean rays, at a fraction of the cost)
+    Kinv = jnp.linalg.inv(K)
+    ones = jnp.ones((p0.shape[0], 1), p0.dtype)
+    x0h = jnp.concatenate([p0, ones], axis=1) @ Kinv.T
+    x1h = jnp.concatenate([p1, ones], axis=1) @ Kinv.T
 
     def score(R, tv):
-        T1 = se3.rt_to_T(R, tv)
-        P1 = projection_matrix(K, T1)
-        X = triangulate_two_view(P0, P1, p0, p1)
-        z0 = X[:, 2]
-        X1 = se3.transform_points(T1, X)
-        z1 = X1[:, 2]
+        z0, z1 = two_view_depths(R, tv, x0h, x1h)
         good = (z0 > 0) & (z1 > 0) & (z0 < max_depth) & (z1 < max_depth) & valid
         return jnp.sum(good.astype(jnp.int32)), good
 

@@ -44,13 +44,47 @@ _BORDER = 19           # keypoints are rejected closer than this to the edge
 
 
 def _brief_pattern(seed: int = 7) -> np.ndarray:
-    """(256, 2, 2) sampling pairs ~ N(0, (patch/5)^2), clipped to the patch."""
+    """(256, 2, 2) sampling pairs ~ N(0, (patch/5)^2), kept inside the DISC
+    of radius patch-1 so every rotation of the pattern stays inside the
+    extracted keypoint patch."""
     rng = np.random.default_rng(seed)
-    pts = rng.normal(0.0, _PATCH_R / 2.2, size=(_N_BITS, 2, 2))
-    return np.clip(pts, -_PATCH_R + 1, _PATCH_R - 1).astype(np.float32)
+    pts = rng.normal(0.0, _PATCH_R / 2.2, size=(_N_BITS * 2, 2))
+    nrm = np.linalg.norm(pts, axis=1, keepdims=True)
+    lim = _PATCH_R - 1.0
+    pts = pts * np.minimum(1.0, lim / np.maximum(nrm, 1e-9))
+    return pts.reshape(_N_BITS, 2, 2).astype(np.float32)
 
 
 _PATTERN = _brief_pattern()
+_N_ANGLE_BINS = 30         # cv2.ORB quantizes orientation to 30 x 12 deg
+_PATCH_SIDE = 2 * _PATCH_R + 2   # +1 ring for bilinear corners
+
+
+def _brief_weight_tables() -> np.ndarray:
+    """(BINS, 512, PATCH_SIDE^2) bilinear sampling matrices, one per
+    quantized rotation. Sampling the rotated pattern then becomes a single
+    (N, P^2) x (P^2, 512) matmul per bin — MXU work instead of the ~1M
+    scalar gathers the naive formulation lowers to on TPU."""
+    pat = _PATTERN.reshape(-1, 2)                       # (512, 2) xy
+    B, P = _N_ANGLE_BINS, _PATCH_SIDE
+    W = np.zeros((B, pat.shape[0], P * P), np.float32)
+    idx = np.arange(pat.shape[0])
+    for b in range(B):
+        a = -np.pi + 2.0 * np.pi * b / B
+        c, s = np.cos(a), np.sin(a)
+        px = np.clip(c * pat[:, 0] - s * pat[:, 1] + _PATCH_R, 0.0, P - 1.001)
+        py = np.clip(s * pat[:, 0] + c * pat[:, 1] + _PATCH_R, 0.0, P - 1.001)
+        x0 = np.floor(px).astype(int)
+        y0 = np.floor(py).astype(int)
+        fx, fy = px - x0, py - y0
+        np.add.at(W[b], (idx, y0 * P + x0), (1 - fx) * (1 - fy))
+        np.add.at(W[b], (idx, y0 * P + x0 + 1), fx * (1 - fy))
+        np.add.at(W[b], (idx, (y0 + 1) * P + x0), (1 - fx) * fy)
+        np.add.at(W[b], (idx, (y0 + 1) * P + x0 + 1), fx * fy)
+    return W
+
+
+_BRIEF_W = _brief_weight_tables()
 
 
 def _shift2d(img: jax.Array, dx: int, dy: int) -> jax.Array:
@@ -155,46 +189,57 @@ def _nms3(score: jax.Array) -> jax.Array:
     return jnp.where(score > jnp.max(neigh, axis=0), score, -jnp.inf)
 
 
-def _orientation(img_blur: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Array:
-    """Intensity-centroid orientation per keypoint (radius-15 disc)."""
+def _extract_patches(img_blur: jax.Array, xs: jax.Array,
+                     ys: jax.Array) -> jax.Array:
+    """(N, PATCH_SIDE, PATCH_SIDE) keypoint patches (one slice-gather).
+
+    Keypoints respect _BORDER (>= _PATCH_R + 1), so every patch is in
+    bounds. The single patch gather is shared by the orientation moments
+    AND the BRIEF sampling — the per-sample image gathers this replaces
+    were the detector's dominant cost on TPU.
+    """
     r = _PATCH_R
-    dy, dx = jnp.mgrid[-r:r + 1, -r:r + 1]
-    disc = (dx * dx + dy * dy) <= r * r
-    wx = jnp.where(disc, dx, 0).astype(jnp.float32)       # (31, 31)
-    wy = jnp.where(disc, dy, 0).astype(jnp.float32)
+    P = _PATCH_SIDE
 
     def one(x, y):
-        patch = jax.lax.dynamic_slice(
-            img_blur, (y - r, x - r), (2 * r + 1, 2 * r + 1))
-        m10 = jnp.sum(patch * wx)
-        m01 = jnp.sum(patch * wy)
-        return jnp.arctan2(m01, m10)
+        return jax.lax.dynamic_slice(img_blur, (y - r, x - r), (P, P))
 
     return jax.vmap(one)(xs, ys)
 
 
-def _brief_descriptors(img_blur: jax.Array, xs: jax.Array, ys: jax.Array,
-                       theta: jax.Array) -> jax.Array:
-    """Steered BRIEF-256 -> (N, 32) uint8 (nearest-pixel samples)."""
-    pat = jnp.asarray(_PATTERN)                            # (256, 2, 2)
-    c, s = jnp.cos(theta), jnp.sin(theta)                  # (N,)
-    R = jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2)  # (N,2,2)
-    # rotated offsets: (N, 256, 2, 2)
-    rot = jnp.einsum("nij,pkj->npki", R, pat)
-    H, W = img_blur.shape
-    # bilinear sampling: nearest-pixel rounding flips comparison bits under
-    # small rotation/subpixel jitter, measurably hurting matching stability
-    px = jnp.clip(xs[:, None, None] + rot[..., 0], 0.0, W - 1.001)
-    py = jnp.clip(ys[:, None, None] + rot[..., 1], 0.0, H - 1.001)
-    x0 = jnp.floor(px).astype(jnp.int32)
-    y0 = jnp.floor(py).astype(jnp.int32)
-    fx = px - x0
-    fy = py - y0
-    vals = (img_blur[y0, x0] * (1 - fx) * (1 - fy)
-            + img_blur[y0, x0 + 1] * fx * (1 - fy)
-            + img_blur[y0 + 1, x0] * (1 - fx) * fy
-            + img_blur[y0 + 1, x0 + 1] * fx * fy)          # (N, 256, 2)
-    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)  # (N, 256)
+def _orientation_from_patches(patches: jax.Array) -> jax.Array:
+    """Intensity-centroid orientation per keypoint (radius-15 disc) as two
+    (N, P^2) x (P^2,) matvecs over the shared patches."""
+    r = _PATCH_R
+    dy, dx = jnp.mgrid[-r:r + 1, -r:r + 1]
+    disc = (dx * dx + dy * dy) <= r * r
+    P = _PATCH_SIDE
+    wx = jnp.zeros((P, P), jnp.float32).at[:2 * r + 1, :2 * r + 1].set(
+        jnp.where(disc, dx, 0).astype(jnp.float32)).reshape(-1)
+    wy = jnp.zeros((P, P), jnp.float32).at[:2 * r + 1, :2 * r + 1].set(
+        jnp.where(disc, dy, 0).astype(jnp.float32)).reshape(-1)
+    pflat = patches.reshape(patches.shape[0], -1)
+    return jnp.arctan2(pflat @ wy, pflat @ wx)
+
+
+def _brief_from_patches(patches: jax.Array, theta: jax.Array) -> jax.Array:
+    """Steered BRIEF-256 -> (N, 32) uint8.
+
+    Orientation is quantized to _N_ANGLE_BINS (cv2.ORB quantizes to 12 deg
+    the same way); each bin's rotated bilinear sampling is a precomputed
+    (512, P^2) matrix, so sampling = one batched matmul + a bin gather.
+    """
+    Wt = jnp.asarray(_BRIEF_W)                             # (B, 512, P^2)
+    B = _N_ANGLE_BINS
+    bins = jnp.round((theta + jnp.pi) * B / (2.0 * jnp.pi)) \
+        .astype(jnp.int32) % B
+    pflat = patches.reshape(patches.shape[0], -1)          # (N, P^2)
+    samples = jax.lax.dot_general(
+        pflat, Wt, (((1,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)               # (N, B, 512)
+    sel = jnp.take_along_axis(samples, bins[:, None, None], axis=1)[:, 0]
+    bits = (sel[:, 0::2] < sel[:, 1::2]).astype(jnp.uint8)  # (N, 256)
     weights = (jnp.left_shift(jnp.ones((8,), jnp.int32),
                               jnp.arange(8, dtype=jnp.int32))).astype(jnp.uint8)
     return jnp.sum(bits.reshape(-1, 32, 8) * weights[None, None, :],
@@ -246,7 +291,11 @@ def orb_detect_and_describe(img: jax.Array, max_kp: int = 1024,
         score = jnp.where(inb, score, -jnp.inf)
 
         flat = score.reshape(-1)
-        top_v, top_i = jax.lax.top_k(flat, k)
+        # approx top-k (TPU-native bucketed reduction): exact ranking of
+        # corner candidates is irrelevant — any high-recall subset of the
+        # strongest corners works — and exact top_k lowers to a full sort
+        # of H*W scores per level, which dominated the detector's runtime
+        top_v, top_i = jax.lax.approx_max_k(flat, k, recall_target=0.95)
         ys = (top_i // Wl).astype(jnp.int32)
         xs = (top_i % Wl).astype(jnp.int32)
         ok = jnp.isfinite(top_v)
@@ -254,8 +303,9 @@ def orb_detect_and_describe(img: jax.Array, max_kp: int = 1024,
 
         blur = _sep_conv(_sep_conv(level_img, _gaussian_kernel(2.0, 4)).T,
                          _gaussian_kernel(2.0, 4)).T
-        theta = _orientation(blur, xs, ys)
-        desc = _brief_descriptors(blur, xs, ys, theta)
+        patches = _extract_patches(blur, xs, ys)
+        theta = _orientation_from_patches(patches)
+        desc = _brief_from_patches(patches, theta)
 
         s = scale ** lvl
         xs_all.append((xs.astype(jnp.float32) + sub_dx) * s)

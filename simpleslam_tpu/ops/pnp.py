@@ -203,7 +203,7 @@ def dlt_pose(pts3d: jax.Array, uv_n: jax.Array,
     r1 = jnp.concatenate([Xh, zeros, -uv_n[:, 0:1] * Xh], axis=1)
     r2 = jnp.concatenate([zeros, Xh, -uv_n[:, 1:2] * Xh], axis=1)
     A = jnp.concatenate([r1, r2], axis=0) * jnp.concatenate([w, w])[:, None]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=A.shape[0] < A.shape[1])
     P = Vt[-1, :].reshape(3, 4)
 
     # global sign from cheirality BEFORE orthogonalization: the projective
@@ -270,12 +270,13 @@ def gn_refine_pose(Tcw0: jax.Array, pts3d: jax.Array, uv: jax.Array,
     return jax.lax.fori_loop(0, iters, step, Tcw0)
 
 
-@partial(jax.jit, static_argnames=("n_hyp", "refine_iters"))
+@partial(jax.jit, static_argnames=("n_hyp", "refine_iters", "lo_rounds"))
 def solve_pnp_ransac(key: jax.Array,
                      pts3d: jax.Array, uv: jax.Array, valid: jax.Array,
                      K: jax.Array, ransac_px: float,
                      Tcw_init: Optional[jax.Array] = None,
-                     n_hyp: int = 256, refine_iters: int = 10):
+                     n_hyp: int = 256, refine_iters: int = 6,
+                     lo_rounds: int = 2):
     """Batched-hypothesis PnP-RANSAC -> (T_cw, inlier mask, n_inliers, ok).
 
     cv2.solvePnPRansac equivalent (pnp_utils.py:307-341): 6-point DLT
@@ -318,7 +319,9 @@ def solve_pnp_ransac(key: jax.Array,
 
     # LO-RANSAC polish: alternate (GN refine on inliers -> re-gate inliers),
     # keeping the best-by-count iterate. A single pass can get stuck on the
-    # winner's possibly-biased inlier set; 3 rounds lets the set expand.
+    # winner's possibly-biased inlier set; a second round lets the set
+    # expand (each GN iteration is a sequential kernel chain on TPU, so the
+    # round/iteration budget is deliberately tight).
     def lo_step(_, carry):
         T_cur, inl_cur, T_out, inl_out = carry
         T_ref = gn_refine_pose(T_cur, pts3d, uv, K,
@@ -331,7 +334,7 @@ def solve_pnp_ransac(key: jax.Array,
         return T_ref, inl_ref, T_out, inl_out
 
     _, _, T_out, inl_out = jax.lax.fori_loop(
-        0, 3, lo_step, (T_best, inl_best, T_best, inl_best))
+        0, lo_rounds, lo_step, (T_best, inl_best, T_best, inl_best))
     n = jnp.sum(inl_out.astype(jnp.int32))
     return T_out, inl_out, n, n >= 4
 
@@ -392,13 +395,8 @@ def refine_pose_pnp(K, pts3d, pts2d, ransac_px: float = 2.0):
     pts2d = np.asarray(pts2d, np.float32)
     if len(pts3d) < 4 or len(pts2d) < 4:
         return None, None
-    # DLT needs 6 points; 4-5 point calls fall back to GN from a coarse DLT
-    # seeded on duplicated rows (still exercised through solve_pnp_ransac).
-    m = len(pts3d)
-    if m < 6:
-        reps = int(np.ceil(6 / m))
-        pts3d = np.tile(pts3d, (reps, 1))[:max(6, m)]
-        pts2d = np.tile(pts2d, (reps, 1))[:max(6, m)]
+    # solve_pnp_ransac seeds from 3-point (P3P) minimal sets, so 4-5 point
+    # calls run directly — no row padding needed.
     T, inl, n, ok = solve_pnp_ransac(
         jax.random.PRNGKey(0), jnp.asarray(pts3d), jnp.asarray(pts2d),
         jnp.ones(len(pts3d), bool), jnp.asarray(K, jnp.float32),

@@ -74,7 +74,7 @@ def triangulate_n_view(Ps: jax.Array, uvs: jax.Array,
     if valid is not None:
         rows = rows * valid[..., None, None].astype(rows.dtype)
     A = rows.reshape((-1, 4))                        # (2V, 4)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=A.shape[0] < A.shape[1])
     Xh = Vt[3, :]
     w = jnp.where(jnp.abs(Xh[3]) < _EPS, _EPS, Xh[3])
     return Xh[:3] / w

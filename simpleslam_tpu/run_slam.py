@@ -319,7 +319,7 @@ class SLAMSystem:
         T_cur = self.world_map.poses[-1]
         n_before = len(self.kfs)
         self.kfs, self.last_kf_frame_no = select_keyframe(
-            cfg, list(range(frame_idx + 2)), frame_idx - 1, img, feats, T_cur,
+            cfg, frame_idx, img, feats, T_cur,
             lambda a, b: self.match(a, b), self.kfs, self.last_kf_frame_no)
         if len(self.kfs) == n_before:
             return 0
@@ -395,8 +395,9 @@ def _run_fused_loop(cfg: SLAMConfig, seq: Sequence, system: "SLAMSystem",
     fc = make_fused_config(cfg, system.img_hw,
                            n_kp=int(prev_feats.kpts.shape[0]),
                            desc_dim=int(desc.shape[1]), log_capacity=log_cap)
+    match_fn = getattr(system.matcher, "fn_fast", None) or system.matcher.fn
     step = build_fused_step(fc, system.K, system.detector.fn,
-                            system.matcher.fn, system._undistort_maps)
+                            match_fn, system._undistort_maps)
     state = state_from_host(system, fc, prev_feats)
 
     pf = Prefetcher(seq, depth=max(1, cfg.prefetch), start=start_idx,

@@ -89,6 +89,16 @@ class CorridorScene:
         self._rays_cam = rays / np.linalg.norm(rays, axis=-1, keepdims=True)
 
     def render(self, T_wc: np.ndarray) -> np.ndarray:
+        return self.render_with_geometry(T_wc)[0]
+
+    def render_with_geometry(self, T_wc: np.ndarray):
+        """(image u8 (H,W), hit world points (H,W,3), ray depth (H,W)).
+
+        The hit points give EXACT dense correspondences between any two
+        views (project the world point into the other camera and compare
+        depths for occlusion) — the supervision source for the learned
+        front-end's scene-pair training (models/train.py).
+        """
         H, W = self.hw
         Rwc = T_wc[:3, :3]
         C = T_wc[:3, 3]
@@ -121,7 +131,8 @@ class CorridorScene:
         img = self.tex(hit)
         # mild distance shading for realism
         shade = 1.0 / (1.0 + 0.004 * np.clip(t_best, 0, 200))
-        return np.clip(img * shade, 0, 255).astype(np.uint8)
+        out = np.clip(img * shade, 0, 255).astype(np.uint8)
+        return out, hit, t_best
 
 
 def generate_kitti_sequence(out_dir: str, n_frames: int = 60, seed: int = 0,

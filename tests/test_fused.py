@@ -1,0 +1,47 @@
+"""Fused device-resident tracking loop vs the host-orchestrated driver.
+
+The fused program (core/fused.py) must reproduce the host state machine's
+behavior (same thresholds, same trigger order) with everything on device.
+This exercises the whole loop on a synthetic corridor and checks the two
+modes agree on trajectory quality and map growth.
+"""
+import numpy as np
+import pytest
+
+from simpleslam_tpu.config import parse_config
+from simpleslam_tpu.run_slam import run
+from simpleslam_tpu.tools.synth import generate_kitti_sequence
+
+
+@pytest.fixture(scope="module")
+def corridor(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("fused_seq"))
+    generate_kitti_sequence(base, n_frames=16, seed=3, hw=(180, 410),
+                            speed=0.5, yaw_rate_deg=0.3)
+    return base
+
+
+def _cfg(base, fused):
+    argv = ["--dataset", "kitti", "--base_dir", base, "--headless",
+            "--no_viz3d", "--max_features", "512", "--map_capacity", "2048"]
+    if fused:
+        argv.append("--fused")
+    return parse_config(argv)
+
+
+def test_fused_matches_host(corridor, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    res_host = run(_cfg(corridor, fused=False))
+    res_fused = run(_cfg(corridor, fused=True))
+
+    assert res_fused.ate is not None and res_host.ate is not None
+    # both complete the corridor; quality parity within noise
+    assert res_host.ate < 1.0
+    assert res_fused.ate < 1.0
+    assert abs(res_fused.ate - res_host.ate) < 0.5
+    assert res_fused.n_keyframes == res_host.n_keyframes
+    assert res_fused.tracking_lost_count == 0
+    # map growth in the same ballpark (RANSAC seeds differ between modes)
+    assert res_fused.n_landmarks > 0.5 * res_host.n_landmarks
+    # one pose logged per frame
+    assert len(res_fused.poses_cw) == res_fused.n_frames

@@ -88,14 +88,13 @@ def test_select_keyframe_cooldown_fastpath_and_promotion():
         return Matches.from_arrays([0, 1, 2], [0, 1, 2], m_pad=8)
 
     # frame 1: inside cooldown, no rotation -> fast path, no match call
-    kfs, last = select_keyframe(cfg, ["p0", "p1"], 0, None,
+    kfs, last = select_keyframe(cfg, 1, None,
                                 feats0, np.eye(4), match_fn, [kf0], 0)
     assert len(kfs) == 1 and last == 0 and not calls
 
     # frame 7 (age 7 > 5): matching runs and promotion happens
-    seq = [f"p{i}" for i in range(10)]
-    kfs, last = select_keyframe(cfg, seq, 6, None, feats0, np.eye(4),
-                                match_fn, [kf0], 0)
+    kfs, last = select_keyframe(cfg, 7, None, feats0, np.eye(4),
+                                match_fn, [kf0], 0, path="p7")
     assert calls and len(kfs) == 2
     assert kfs[1].frame_idx == 7 and last == 7
     assert kfs[1].path == "p7"
@@ -103,6 +102,6 @@ def test_select_keyframe_cooldown_fastpath_and_promotion():
 
 def test_select_keyframe_empty_kfs_noop():
     cfg = SLAMConfig()
-    kfs, last = select_keyframe(cfg, [], 0, None, _feats([[0, 0]]), np.eye(4),
+    kfs, last = select_keyframe(cfg, 1, None, _feats([[0, 0]]), np.eye(4),
                                 lambda a, b: Matches.empty(4), [], -999)
     assert kfs == [] and last == -999
