@@ -74,15 +74,18 @@ def init_feature_pipeline(args) -> Tuple[Detector, Matcher]:
 
         def detect(img_gray: jax.Array) -> Features:
             return sift_detect_and_describe(img_gray, max_kp=n_pad)
-    else:
-        # 'akaze' maps onto the binary FAST+BRIEF front-end with a lower
-        # detection threshold (a true nonlinear-diffusion KAZE variant is
-        # tracked as follow-up work)
-        thresh = {"orb": 20.0, "akaze": 15.0}.get(name, 20.0)
+    elif name == "akaze":
+        # true AKAZE: FED nonlinear-diffusion scale space + Hessian extrema
+        # + rotated M-LDB binary descriptors (reference:
+        # features_utils.py:39-41 via cv2.AKAZE_create)
+        from simpleslam_tpu.ops.features_akaze import akaze_detect_and_describe
 
         def detect(img_gray: jax.Array) -> Features:
+            return akaze_detect_and_describe(img_gray, max_kp=n_pad)
+    else:
+        def detect(img_gray: jax.Array) -> Features:
             return orb_detect_and_describe(img_gray, max_kp=n_pad,
-                                           fast_thresh=thresh)
+                                           fast_thresh=20.0)
 
     def match(f0: Features, f1: Features) -> Matches:
         return bf_match(f0, f1, cross_check=True)

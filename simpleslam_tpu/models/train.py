@@ -51,13 +51,22 @@ def make_models(key, desc_dim: int = 64, n_kp: int = 64, dim: int = 128,
 def make_train_state(key, lr: float = 1e-4, warmup: int = 100,
                      total_steps: int = 10000, **model_kw):
     a_model, l_model, params = make_models(key, **model_kw)
-    # transformer-safe recipe: NaN-step skipping + global-norm clipping +
-    # warmup-cosine schedule. bf16 forward passes occasionally produce a NaN
-    # gradient step late in training on TPU; zero_nans drops that step
-    # instead of poisoning the whole parameter tree.
+    # transformer-safe recipe: non-finite-gradient zapping + global-norm
+    # clipping + warmup-cosine schedule. bf16 forward passes occasionally
+    # produce NaN/inf gradients on TPU; optax.zero_nans only replaces NaN
+    # (an inf flowing into clip_by_global_norm turns the whole step into
+    # NaN), so sanitize every non-finite entry before clipping.
+    def _sanitize():
+        def update(grads, state, params=None):
+            grads = jax.tree.map(
+                lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+            return grads, state
+        return optax.GradientTransformation(lambda _: optax.EmptyState(),
+                                            update)
+
     sched = optax.warmup_cosine_decay_schedule(
         0.0, lr, warmup, max(total_steps, warmup + 1), lr * 0.1)
-    tx = optax.chain(optax.zero_nans(),
+    tx = optax.chain(_sanitize(),
                      optax.clip_by_global_norm(1.0),
                      optax.adamw(sched))
     return (a_model, l_model, tx,

@@ -106,6 +106,10 @@ class SLAMSystem:
         self.initialised = False
         self.tracking_lost_count = 0
         self.frame_ids: List[int] = []
+        self.want_viz = False          # run() enables for non-headless runs
+        self._prev_img: Optional[np.ndarray] = None
+        self._last_matches = None      # (feats_prev, feats_cur, Matches)
+        self._trackbook = None
         self._snap_cache = None
         self._key = jax.random.PRNGKey(cfg.seed)
         self._undistort_maps = None
@@ -336,6 +340,10 @@ class SLAMSystem:
                     key=self._next_key())
         if len(new_ids) >= cfg.local_ba_min_new_points and len(self.kfs) >= 2:
             try:
+                poses_before = None
+                if cfg.viz_ba:
+                    poses_before = {kf.idx: np.asarray(kf.pose).copy()
+                                    for kf in self.kfs}
                 with self.timer.stage("local_ba"):
                     local_bundle_adjustment(
                         self.world_map, self.K, self.kfs,
@@ -343,6 +351,14 @@ class SLAMSystem:
                         window_size=cfg.local_ba_window,
                         max_points=cfg.local_ba_max_points,
                         max_iters=cfg.local_ba_max_iters)
+                if cfg.viz_ba:
+                    from simpleslam_tpu.viz.visualize_ba import \
+                        visualize_ba_window
+                    first = max(1, len(self.kfs) - cfg.local_ba_window)
+                    visualize_ba_window(
+                        self.world_map, self.K, self.kfs,
+                        list(range(first, len(self.kfs))), poses_before,
+                        show=self.want_viz)
             except Exception as e:  # BA must never kill tracking (parity)
                 logger.warning("[Local BA] failed: %s", e)
         return len(new_ids)
@@ -372,6 +388,20 @@ class SLAMSystem:
             self._track(frame_idx, feats, prev_feats, matches_prev)
         with self.timer.stage("keyframe"):
             self._maybe_keyframe(frame_idx, img, feats)
+
+        if self.want_viz:
+            from simpleslam_tpu.viz.windows import TrackBook
+            if self._trackbook is None:
+                self._trackbook = TrackBook()
+            kp_prev = np.asarray(prev_feats.kpts)
+            kp_cur = np.asarray(feats.kpts)
+            i0 = np.asarray(matches_prev.idx0)
+            i1 = np.asarray(matches_prev.idx1)
+            mv = np.asarray(matches_prev.valid)
+            self._trackbook.advance(kp_prev, kp_cur, i0, i1, mv)
+            self._last_matches = (self._prev_img, img, kp_prev, kp_cur,
+                                  i0, i1, mv)
+        self._prev_img = img
 
         # Global BA milestone — scaffolded but DISABLED, like the reference
         # (main_revamped.py:597-614).
@@ -421,6 +451,34 @@ def _run_fused_loop(cfg: SLAMConfig, seq: Sequence, system: "SLAMSystem",
     system._key = state.key
 
 
+def _show_driver_windows(system: "SLAMSystem") -> None:
+    """KF thumbnail strip + prev->cur match overlay + track trails
+    (reference main_revamped.py:622-706)."""
+    try:
+        import cv2
+    except Exception:
+        return
+    from simpleslam_tpu.viz.tracks import draw_tracks
+    from simpleslam_tpu.viz.windows import build_kf_strip, build_match_overlay
+
+    strip = build_kf_strip(system.kfs)
+    if strip is not None:
+        cv2.imshow("keyframes", strip)
+    if system._last_matches is not None:
+        prev_img, cur_img, kp0, kp1, i0, i1, mv = system._last_matches
+        if prev_img is not None:
+            overlay = build_match_overlay(prev_img, cur_img, kp0, kp1,
+                                          i0, i1, mv)
+            if overlay is not None:
+                cv2.imshow("matches prev->cur", overlay)
+        if system._trackbook is not None:
+            img = cur_img if cur_img.ndim == 3 else \
+                cv2.cvtColor(np.asarray(cur_img, np.uint8),
+                             cv2.COLOR_GRAY2BGR)
+            cv2.imshow("tracks", draw_tracks(img, system._trackbook.tracks))
+    cv2.waitKey(1)
+
+
 def run(cfg: SLAMConfig) -> SLAMResult:
     from simpleslam_tpu.utils.platform import enable_compile_cache
 
@@ -446,35 +504,69 @@ def run(cfg: SLAMConfig) -> SLAMResult:
     system = SLAMSystem(cfg, seq.K, seq.D, img_hw=img0.shape[:2])
 
     headless = cfg.headless
+    system.want_viz = not headless
     traj2d = Trajectory2D(gt44, dataset=cfg.dataset, live=not headless)
     viz3d = Visualizer3D(enabled=not (cfg.no_viz3d or headless))
     ui = VizUI(enabled=not headless)
 
     t_start = time.perf_counter()
-    prev_feats = system.process_frame(0, img0, None)
     n = len(seq)
-    frame_idx = 0
+    start_idx = 1
+    if cfg.resume:
+        from simpleslam_tpu.utils.serialize import load_state
+
+        m, kfs, _cfgd, frame_ids = load_state(cfg.resume)
+        system.world_map = m
+        system.kfs = kfs
+        system.frame_ids = frame_ids
+        system.initialised = len(kfs) >= 2
+        system.last_kf_frame_no = kfs[-1].frame_idx if kfs else -999
+        last = frame_ids[-1] if frame_ids else 0
+        img_last = system.preprocess(seq.frame(last))
+        prev_feats = system.extract(img_last)
+        system._prev_img = img_last
+        start_idx = last + 1
+        logger.info("resumed from %s: %d poses, %d KFs, %d landmarks; "
+                    "continuing at frame %d", cfg.resume,
+                    len(m.poses), len(kfs), len(m), start_idx)
+    else:
+        prev_feats = system.process_frame(0, img0, None)
+
+    # graceful SIGINT: finish the in-flight frame, save state, then report
+    stop_flag = {"stop": False}
+    if cfg.save_state:
+        import signal
+
+        def _on_sigint(_sig, _frm):
+            stop_flag["stop"] = True
+            logger.warning("SIGINT: stopping after this frame; state -> %s",
+                           cfg.save_state)
+        signal.signal(signal.SIGINT, _on_sigint)
+
+    frame_idx = start_idx - 1
     if cfg.fused:
         # host-orchestrated bootstrap (runs once), then hand the whole loop
         # to the device-resident fused program
-        for frame_idx in range(1, n):
-            with system.timer.stage("frame_load"):
-                img = seq.frame(frame_idx)
-            prev_feats = system.process_frame(frame_idx, img, prev_feats)
-            if system.initialised:
-                break
-        if system.initialised and frame_idx + 1 < n:
-            _run_fused_loop(cfg, seq, system, prev_feats, frame_idx + 1)
+        if not system.initialised:
+            for frame_idx in range(start_idx, n):
+                with system.timer.stage("frame_load"):
+                    img = seq.frame(frame_idx)
+                prev_feats = system.process_frame(frame_idx, img, prev_feats)
+                if system.initialised:
+                    break
+            start_idx = frame_idx + 1
+        if system.initialised and start_idx < n:
+            _run_fused_loop(cfg, seq, system, prev_feats, start_idx)
         if system.initialised and system.world_map.poses:
             while len(traj2d.est) < len(system.world_map.poses):
                 i = len(traj2d.est)
                 fid = (system.frame_ids[i]
                        if i < len(system.frame_ids) else frame_idx)
                 traj2d.push(fid, system.world_map.poses[i])
-        n_loop_frames = 0
-    else:
-        n_loop_frames = n
-    for frame_idx in range(1, n_loop_frames):
+        start_idx = n          # skip the host loop below
+    for frame_idx in range(start_idx, n):
+        if stop_flag["stop"]:
+            break
         with system.timer.stage("frame_load"):
             img = seq.frame(frame_idx)
         prev_feats = system.process_frame(frame_idx, img, prev_feats)
@@ -492,6 +584,7 @@ def run(cfg: SLAMConfig) -> SLAMResult:
                              np.asarray([(-p[:3, :3].T @ p[:3, 3])
                                          for p in system.world_map.poses]))
                 traj2d.draw()
+                _show_driver_windows(system)
             except Exception as e:
                 logger.warning("viz failed: %s", e)
             if not ui.poll():
@@ -513,6 +606,15 @@ def run(cfg: SLAMConfig) -> SLAMResult:
         logger.info("saved %s", out_png)
     except Exception as e:
         logger.warning("could not save trajectory png: %s", e)
+    if cfg.save_state:
+        try:
+            from simpleslam_tpu.utils.serialize import save_state
+
+            save_state(cfg.save_state, system.world_map, system.kfs, cfg,
+                       system.frame_ids)
+            logger.info("saved pipeline state to %s", cfg.save_state)
+        except Exception as e:
+            logger.warning("could not save state: %s", e)
     ui.close()
     viz3d.close()
 

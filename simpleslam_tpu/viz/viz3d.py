@@ -31,6 +31,28 @@ class Visualizer3D:
             self._pcd = o3d.geometry.PointCloud()
             self._traj = o3d.geometry.LineSet()
             self._added = False
+            self._register_nav_callbacks(self._vis)
+
+    def _register_nav_callbacks(self, vis, step: float = 0.5) -> None:
+        """WASDQE fly-through navigation (reference Visualizer3D,
+        visualization_utils.py:102-121): W/S forward/back, A/D left/right,
+        Q/E up/down, moving the view camera along its local axes."""
+        moves = {"W": (0.0, 0.0, step), "S": (0.0, 0.0, -step),
+                 "A": (-step, 0.0, 0.0), "D": (step, 0.0, 0.0),
+                 "Q": (0.0, step, 0.0), "E": (0.0, -step, 0.0)}
+
+        def make_cb(dx, dy, dz):
+            def cb(v):  # pragma: no cover - needs a live GL window
+                vc = v.get_view_control()
+                vc.camera_local_translate(forward=dz, right=dx, up=dy)
+                return False
+            return cb
+
+        self.nav_keys = {}
+        for key, (dx, dy, dz) in moves.items():
+            cb = make_cb(dx, dy, dz)
+            self.nav_keys[key] = cb
+            vis.register_key_callback(ord(key), cb)
 
     @staticmethod
     def _colors_by_axis(pts: np.ndarray, mode: str) -> np.ndarray:
