@@ -106,9 +106,13 @@ class LearnedMatcher:
         self.model, self.params = lg_mod.init_lightglue(
             jax.random.PRNGKey(seed), desc_dim=extractor.desc_dim,
             n_kp=min(extractor.max_kp, 64), n_layers=n_layers)
-        loaded = _load_repo_checkpoint()
-        if loaded is not None and "lightglue" in loaded:
-            self.params = _graft_matching(self.params, loaded["lightglue"])
+        ckpt = os.environ.get("SLAM_LIGHTGLUE_WEIGHTS")
+        if ckpt and os.path.exists(ckpt):
+            self.params = lg_mod.load_torch_lightglue(ckpt, self.params)
+        else:
+            loaded = _load_repo_checkpoint()
+            if loaded is not None and "lightglue" in loaded:
+                self.params = _graft_matching(self.params, loaded["lightglue"])
 
     def fn(self, feats0: Features, feats1: Features) -> Matches:
         hw = self.extractor.image_hw or (480, 640)

@@ -293,9 +293,10 @@ def loss_fn(params, a_model, l_model, batch, image_hw):
     s0 = jax.vmap(sample_score)(score0, pts0)
     s1 = jax.vmap(sample_score)(score1, pts1)
     l_rep = jnp.sum(jnp.where(pv, (s0 - s1) ** 2, 0.0)) / jnp.maximum(jnp.sum(pv), 1)
-    # keep score responses informative (anti-collapse)
+    # keep score responses informative (anti-collapse); clamp the magnitude
+    # penalty — a transient activation blow-up must not inf the total loss
     l_reg = jnp.mean(jax.nn.relu(1.0 - jnp.std(score0, axis=(1, 2)))) \
-        + 0.01 * jnp.mean(score0 ** 2)
+        + 0.01 * jnp.mean(jnp.minimum(score0 ** 2, 1e4))
 
     # LightGlue assignment NLL at the GT permutation (identity over G points)
     P, sig0, sig1 = l_model.apply(
@@ -304,7 +305,8 @@ def loss_fn(params, a_model, l_model, batch, image_hw):
     l_match = -jnp.sum(jnp.where(pv, jnp.log(diagP + 1e-9), 0.0)) \
         / jnp.maximum(jnp.sum(pv), 1)
     # matchability supervision: valid points should be matchable
-    l_sig = -jnp.mean(jnp.where(pv, jnp.log(sig0 + 1e-9), jnp.log(1 - sig0 + 1e-9)))
+    sig0c = jnp.clip(sig0, 1e-6, 1.0 - 1e-6)
+    l_sig = -jnp.mean(jnp.where(pv, jnp.log(sig0c), jnp.log(1.0 - sig0c)))
 
     total = l_desc + 0.5 * l_rep + 0.1 * l_reg + l_match + 0.1 * l_sig
     return total, {"desc": l_desc, "rep": l_rep, "match": l_match,

@@ -60,14 +60,19 @@ def _apply_h(T: jax.Array, pts: jax.Array) -> jax.Array:
 def _smallest_singular_vector(A: jax.Array) -> jax.Array:
     """Right-singular vector of the smallest singular value of A (m, n).
 
-    Economy SVD when the system is (over)determined — for the (2N, 9) refit
-    systems a full SVD materializes a (2N, 2N) U that is thrown away, which
-    dominated the RANSAC cost on TPU. The underdetermined minimal-H case
-    (8 x 9) still needs the full factorization for the nullspace row.
+    Computed as the smallest eigenvector of the n x n Gram matrix A^T A:
+    one small symmetric eigendecomposition instead of an (m, n) SVD — the
+    batched minimal-fit SVDs were the dominant cost of every H/F/E RANSAC
+    on TPU, and the refit SVD materialized a thrown-away (2N, 2N) U. The
+    Gram formulation squares the condition number, which Hartley
+    normalization keeps harmless at these sizes (n <= 9), and every RANSAC
+    consumer re-gates inliers after the fit anyway.
     """
-    full = A.shape[-2] < A.shape[-1]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=full)
-    return Vt[-1, :]
+    G = jax.lax.dot_general(A, A, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    _, V = jnp.linalg.eigh(G)          # ascending eigenvalues
+    return V[:, 0]
 
 
 @highest_precision

@@ -136,9 +136,14 @@ def p3p_grunert(X: jax.Array, bearings: jax.Array):
                 + u_num * u_num - 2.0 * cg * u_num * den)
 
     vals = jax.vmap(gden2)(nodes)
-    # inverse Vandermonde for nodes [0, 1, -1, 2, -2] (constant matrix)
-    V = jnp.stack([nodes ** k for k in range(5)], axis=1)   # (5, 5)
-    coeffs = jnp.linalg.solve(V, vals)                       # c0..c4
+    # inverse Vandermonde for nodes [0, 1, -1, 2, -2]: a CONSTANT matrix —
+    # precomputed on host so coefficient recovery is one matvec, not a
+    # batched 5x5 LU solve
+    import numpy as _np
+    Vinv = jnp.asarray(_np.linalg.inv(
+        _np.stack([_np.array([0.0, 1.0, -1.0, 2.0, -2.0]) ** k
+                   for k in range(5)], axis=1)), vals.dtype)
+    coeffs = Vinv @ vals                                     # c0..c4
 
     roots, is_real = solve_quartic_real(coeffs[4], coeffs[3], coeffs[2],
                                         coeffs[1], coeffs[0])
@@ -149,11 +154,13 @@ def p3p_grunert(X: jax.Array, bearings: jax.Array):
     dg = jax.grad(gden2)
 
     def polish(v):
-        def newton(_, vv):
-            d = dg(vv)
-            step = gden2(vv) / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
-            return vv - jnp.clip(step, -0.5, 0.5)
-        return jax.lax.fori_loop(0, 6, newton, v)
+        # unrolled (python loop): 6 tiny sequential kernels fuse into the
+        # surrounding program instead of an XLA while-loop
+        for _ in range(6):
+            d = dg(v)
+            step = gden2(v) / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+            v = v - jnp.clip(step, -0.5, 0.5)
+        return v
 
     roots = jax.vmap(polish)(roots)
 
@@ -165,15 +172,24 @@ def p3p_grunert(X: jax.Array, bearings: jax.Array):
         s3 = v * s1
         ok = ok & (s1 > 0) & (s2 > 0) & (s3 > 0)
         pc = jnp.stack([s1 * j1, s2 * j2, s3 * j3])          # camera frame
-        # Kabsch absolute orientation world -> camera
-        mw = X.mean(axis=0)
-        mc = pc.mean(axis=0)
-        Hm = (X - mw).T @ (pc - mc)
-        U, _, Vt = jnp.linalg.svd(Hm)
-        dets = jnp.linalg.det(Vt.T @ U.T)
-        D = jnp.diag(jnp.stack([jnp.ones_like(dets), jnp.ones_like(dets), dets]))
-        R = Vt.T @ D @ U.T
-        t = mc - R @ mw
+        # absolute orientation via the triad method: for an exact 3-point
+        # correspondence the frame-to-frame rotation is closed-form — no
+        # batched SVD (TPU small-SVD is iterative and dominated this solver)
+        def triad(P):
+            u1 = P[1] - P[0]
+            u2 = P[2] - P[0]
+            e1 = u1 / jnp.maximum(jnp.linalg.norm(u1), _EPS)
+            e3 = jnp.cross(e1, u2)
+            n3 = jnp.linalg.norm(e3)
+            e3 = e3 / jnp.maximum(n3, _EPS)
+            e2 = jnp.cross(e3, e1)
+            return jnp.stack([e1, e2, e3], axis=1), n3       # columns
+
+        Fw, nw = triad(X)
+        Fc, nc = triad(pc)
+        ok = ok & (nw > 1e-9) & (nc > 1e-9)                  # non-colinear
+        R = Fc @ Fw.T
+        t = pc.mean(axis=0) - R @ X.mean(axis=0)
         T = se3.rt_to_T(R, t)
         return jnp.where(ok, T, jnp.eye(4)), ok
 

@@ -105,55 +105,73 @@ def reproject_and_match_2d3d(
 
     if binary:
         kp_bits = unpack_bits(desc_cur)                       # (N, 8D)
+        kp_norm = jnp.sum(kp_bits, axis=1)
     else:
         kp_f = desc_cur.astype(jnp.float32)
+        kp_norm = jnp.sum(kp_f * kp_f, axis=1)
 
     R = desc_ring.shape[1]
     D = desc_ring.shape[2]
     n_chunks = max(1, C // chunk)
     assert C % chunk == 0 or C < chunk, "map capacity must be chunk-aligned"
 
-    def run_search(kp_mask):
-        """Best (kp, desc distance) per landmark over the allowed keypoints."""
+    def scored_chunk(chunk_data):
+        """(CH, N) windowed best-over-ring distances (INF outside gates).
 
-        def process(chunk_data):
-            uv_c, cand_c, ring_c, nd_c = chunk_data
-            CH = uv_c.shape[0]
-            # spatial window gate (CH, N)
-            d2 = (jnp.sum(uv_c * uv_c, axis=1)[:, None]
-                  + jnp.sum(kpts * kpts, axis=1)[None, :]
-                  - 2.0 * jax.lax.dot_general(
-                      uv_c, kpts, (((1,), (1,)), ((), ())),
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST))
-            window = (d2 <= r2) & kp_mask[None, :] & cand_c[:, None]
+        The ring-slot mask folds into the self-norm term (invalid slots
+        get +INF), so the (CH, R, N) distance tensor needs only ONE
+        elementwise pass after the matmul — this op is HBM-bound.
+        """
+        uv_c, cand_c, ring_c, nd_c = chunk_data
+        CH = uv_c.shape[0]
+        d2 = (jnp.sum(uv_c * uv_c, axis=1)[:, None]
+              + jnp.sum(kpts * kpts, axis=1)[None, :]
+              - 2.0 * jax.lax.dot_general(
+                  uv_c, kpts, (((1,), (1,)), ((), ())),
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST))
+        window = (d2 <= r2) & cand_c[:, None]
 
-            # descriptor distances: (CH*R, D) x (D, N) -> (CH, R, N)
-            flat = ring_c.reshape(CH * R, D)
-            if binary:
-                dd = hamming_matrix(unpack_bits(flat), kp_bits)
-            else:
-                dd = jnp.sqrt(l2sq_matrix(flat.astype(jnp.float32), kp_f))
-            dd = dd.reshape(CH, R, N)
-            slot_ok = (jnp.arange(R)[None, :, None]
-                       < jnp.minimum(nd_c, R)[:, None, None])
-            dd = jnp.where(slot_ok, dd, _INF)
-            best_over_ring = jnp.min(dd, axis=1)              # (CH, N)
+        flat = ring_c.reshape(CH * R, D)
+        slot_ok = (jnp.arange(R)[None, :]
+                   < jnp.minimum(nd_c, R)[:, None]).reshape(CH * R)
+        if binary:
+            bits = unpack_bits(flat)
+            dot = jax.lax.dot_general(
+                bits, kp_bits, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            self_n = jnp.where(slot_ok, jnp.sum(bits, axis=1), _INF)
+            dd = self_n[:, None] + kp_norm[None, :] - 2.0 * dot
+        else:
+            ring_f = flat.astype(jnp.float32)
+            # bf16-input matmul: descriptors are L2-normalized (entries
+            # ~1e-1), so the ~0.4% dot rounding is far inside the max_l2
+            # gate's tolerance — and it halves this HBM/MXU-bound op
+            dot = jax.lax.dot_general(
+                ring_f, kp_f, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            self_n = jnp.where(slot_ok, jnp.sum(ring_f * ring_f, axis=1),
+                               _INF)
+            dd = jnp.maximum(self_n[:, None] + kp_norm[None, :] - 2.0 * dot,
+                             0.0)
+        best_sq = jnp.min(dd.reshape(CH, R, N), axis=1)       # (CH, N)
+        best = best_sq if binary else jnp.sqrt(best_sq)
+        return jnp.where(window & (best <= thr), best, _INF)
 
-            scored = jnp.where(window & (best_over_ring <= thr),
-                               best_over_ring, _INF)
-            best_kp = jnp.argmin(scored, axis=1).astype(jnp.int32)
-            best_d = jnp.take_along_axis(scored, best_kp[:, None], axis=1)[:, 0]
-            return best_kp, best_d
+    if C <= chunk:
+        scored = scored_chunk((uv_all, cand, desc_ring, n_desc))
+    else:
+        ch = (uv_all.reshape(n_chunks, chunk, 2),
+              cand.reshape(n_chunks, chunk),
+              desc_ring.reshape(n_chunks, chunk, R, D),
+              n_desc.reshape(n_chunks, chunk))
+        scored = jax.lax.map(scored_chunk, ch).reshape(C, N)
 
-        if C <= chunk:
-            return process((uv_all, cand, desc_ring, n_desc))
-        ch_uv = uv_all.reshape(n_chunks, chunk, 2)
-        ch_cand = cand.reshape(n_chunks, chunk)
-        ch_ring = desc_ring.reshape(n_chunks, chunk, R, D)
-        ch_nd = n_desc.reshape(n_chunks, chunk)
-        bk, bd = jax.lax.map(process, (ch_uv, ch_cand, ch_ring, ch_nd))
-        return bk.reshape(C), bd.reshape(C)
+    def best_of(kp_mask):
+        s = jnp.where(kp_mask[None, :], scored, _INF)
+        best_kp = jnp.argmin(s, axis=1).astype(jnp.int32)
+        best_d = jnp.take_along_axis(s, best_kp[:, None], axis=1)[:, 0]
+        return best_kp, best_d
 
     def resolve(best_kp, best_d, eligible):
         """One-kp-one-landmark: earliest landmark (lowest row) wins among
@@ -165,15 +183,16 @@ def reproject_and_match_2d3d(
         winner = jnp.full((N + 1,), C, jnp.int32).at[claim].min(order)
         return has, has & (winner[claim] == order)
 
-    best_kp, best_d = run_search(kp_valid)
+    best_kp, best_d = best_of(kp_valid)
     has1, valid1 = resolve(best_kp, best_d, jnp.ones((C,), bool))
 
     # Round 2: conflict losers retry on the keypoints left unclaimed — the
     # parallel analog of the reference's greedy scan falling through to the
-    # next-best in-window candidate for later landmarks.
+    # next-best in-window candidate for later landmarks. The scored matrix
+    # is reused; only the argmin re-runs.
     taken = jnp.zeros((N + 1,), bool).at[
         jnp.where(valid1, best_kp, N)].set(True).at[N].set(False)[:N]
-    best_kp2, best_d2 = run_search(kp_valid & ~taken)
+    best_kp2, best_d2 = best_of(kp_valid & ~taken)
     _, valid2 = resolve(best_kp2, best_d2, has1 & ~valid1)
 
     kp_idx = jnp.where(valid1, best_kp, best_kp2)

@@ -32,15 +32,22 @@ def sample_minimal_sets(key: jax.Array, valid: jax.Array, k: int,
                         n_hyp: int) -> Tuple[jax.Array, jax.Array]:
     """Sample ``n_hyp`` index sets of size ``k`` from the valid entries.
 
-    Gumbel top-k per hypothesis: indices are distinct within a set and drawn
-    uniformly from the valid mask. Returns (idx (S,k) int32, ok (S,) bool);
-    ``ok`` is False when fewer than k valid entries exist.
+    Rank sampling: draw uniform ranks in [0, n_valid) and map them to entry
+    positions through the valid mask's prefix sum (searchsorted). The
+    previous Gumbel-top-k formulation sorted an (n_hyp, M) matrix per call —
+    the single most expensive op of every RANSAC solve on TPU. Ranks within
+    a set are drawn independently, so a set can (rarely, ~k^2/n_valid)
+    contain a duplicate; a duplicated point makes the minimal fit degenerate
+    and that hypothesis simply scores as garbage — RANSAC's redundancy
+    absorbs it, matching cv2's own collision-tolerant sampling.
+
+    Returns (idx (S,k) int32, ok (S,) bool); ``ok`` is False when fewer
+    than k valid entries exist.
     """
-    m = valid.shape[0]
-    logits = jnp.where(valid, 0.0, -jnp.inf)
-    g = jax.random.gumbel(key, (n_hyp, m)) + logits[None, :]
-    _, idx = jax.lax.top_k(g, k)
     n_valid = jnp.sum(valid.astype(jnp.int32))
+    ranks = jax.random.randint(key, (n_hyp, k), 0, jnp.maximum(n_valid, 1))
+    cums = jnp.cumsum(valid.astype(jnp.int32))          # rank at each entry
+    idx = jnp.searchsorted(cums, ranks.reshape(-1) + 1).reshape(n_hyp, k)
     ok = jnp.broadcast_to(n_valid >= k, (n_hyp,))
     return idx.astype(jnp.int32), ok
 
