@@ -166,22 +166,32 @@ class ScenePairPool:
     """
 
     def __init__(self, hw, n_views: int = 160, seed: int = 0,
-                 n_scenes: int = 4):
+                 n_scenes: int = 4, render_hw=None):
         from simpleslam_tpu.tools.synth import (CorridorScene, DEFAULT_K,
                                                 make_trajectory)
         H, W = hw
-        s = W / 1232.0
+        if render_hw is None:
+            render_hw = (H, W)
+        Hr, Wr = render_hw
+        assert Hr >= H and Wr >= W, "render_hw must contain the crop hw"
+        # K for the RENDER resolution: pipeline-matched appearance. Training
+        # crops of (H, W) out of (Hr, Wr) views see exactly the pixel-scale
+        # texture statistics the SLAM pipeline runs at — the 144x256-native
+        # rendering this replaces had ~(Wr/W)x finer texture per pixel, which
+        # is why the round-1 checkpoint's descriptors collapsed at 376x1232.
+        s = Wr / 1232.0
         K = DEFAULT_K.copy()
         K[0] *= s
         K[1] *= s
-        K[1, 2] = 0.487 * H
+        K[1, 2] = 0.487 * Hr
         self.K = K.astype(np.float64)
         self.hw = (H, W)
+        self.render_hw = (Hr, Wr)
         rng = np.random.default_rng(seed)
         self.imgs, self.pts, self.depth, self.poses = [], [], [], []
         per = max(2, n_views // n_scenes)
         for sc in range(n_scenes):
-            scene = CorridorScene(seed=seed + sc, hw=(H, W), K=K)
+            scene = CorridorScene(seed=seed + sc, hw=(Hr, Wr), K=K)
             T = make_trajectory(per, speed=float(rng.uniform(0.2, 0.8)),
                                 yaw_rate_deg=float(rng.uniform(0.0, 0.8)))
             for i in range(per):
@@ -195,8 +205,11 @@ class ScenePairPool:
     def batch(self, rng: np.random.Generator, B: int, G: int,
               max_gap: int = 4) -> Dict[str, np.ndarray]:
         """Correspondence-labelled view pairs, same dict layout as
-        synthetic_pair_batch (Hmats omitted)."""
+        synthetic_pair_batch (Hmats omitted). When the pool renders larger
+        than the training hw, each sample is an independent random crop of
+        both views (correspondences shifted by the crop offsets)."""
         H, W = self.hw
+        Hr, Wr = self.render_hw
         K = self.K
         img0 = np.zeros((B, H, W, 1), np.float32)
         img1 = np.zeros((B, H, W, 1), np.float32)
@@ -210,31 +223,38 @@ class ScenePairPool:
                             * (1 if rng.random() < 0.5 else -1), 0, self.n - 1))
             if j == i:
                 j = min(i + 1, self.n - 1)
-            img0[b, ..., 0] = self.imgs[i] / 255.0
-            img1[b, ..., 0] = self.imgs[j] / 255.0
+            # independent crop offsets per view
+            ox0 = int(rng.integers(0, Wr - W + 1))
+            oy0 = int(rng.integers(0, Hr - H + 1))
+            ox1 = int(rng.integers(0, Wr - W + 1))
+            oy1 = int(rng.integers(0, Hr - H + 1))
+            img0[b, ..., 0] = self.imgs[i][oy0:oy0 + H, ox0:ox0 + W] / 255.0
+            img1[b, ..., 0] = self.imgs[j][oy1:oy1 + H, ox1:ox1 + W] / 255.0
 
-            # sample view-0 pixels (integer centers: the raycast hit points
-            # are exact AT pixel centers), project into view 1
-            xs = rng.integers(m, W - m, 4 * G).astype(np.float32)
-            ys = rng.integers(m, H - m, 4 * G).astype(np.float32)
+            # sample view-0 pixels inside crop 0 (integer centers: the
+            # raycast hit points are exact AT pixel centers), project into
+            # view 1, require inside crop 1
+            xs = rng.integers(ox0 + m, ox0 + W - m, 4 * G).astype(np.float32)
+            ys = rng.integers(oy0 + m, oy0 + H - m, 4 * G).astype(np.float32)
             Xw = self.pts[i][ys.astype(int), xs.astype(int)]       # (4G,3)
             T1_cw = np.linalg.inv(self.poses[j])
             Xc = Xw @ T1_cw[:3, :3].T + T1_cw[:3, 3]
             z = Xc[:, 2]
             uv = (Xc[:, :2] / np.maximum(z[:, None], 1e-6)) \
                 * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
-            inb = (z > 0.2) & (uv[:, 0] >= m) & (uv[:, 0] < W - m) \
-                & (uv[:, 1] >= m) & (uv[:, 1] < H - m)
+            inb = (z > 0.2) \
+                & (uv[:, 0] >= ox1 + m) & (uv[:, 0] < ox1 + W - m) \
+                & (uv[:, 1] >= oy1 + m) & (uv[:, 1] < oy1 + H - m)
             # occlusion: the other view's ray depth at uv must match |Xc|
-            ui = np.clip(uv[:, 0].astype(int), 0, W - 1)
-            vi = np.clip(uv[:, 1].astype(int), 0, H - 1)
+            ui = np.clip(uv[:, 0].astype(int), 0, Wr - 1)
+            vi = np.clip(uv[:, 1].astype(int), 0, Hr - 1)
             d1 = self.depth[j][vi, ui]
             r1 = np.linalg.norm(Xc, axis=1)
             vis = inb & (np.abs(d1 - r1) < 0.15 * np.maximum(r1, 1.0))
             sel = np.flatnonzero(vis)[:G]
             k = len(sel)
-            pts0[b, :k] = np.stack([xs[sel], ys[sel]], 1)
-            pts1[b, :k] = uv[sel]
+            pts0[b, :k] = np.stack([xs[sel] - ox0, ys[sel] - oy0], 1)
+            pts1[b, :k] = uv[sel] - [ox1, oy1]
             valid[b, :k] = True
         return dict(img0=img0, img1=img1, pts0=pts0, pts1=pts1,
                     pt_valid=valid)

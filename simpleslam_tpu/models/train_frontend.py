@@ -43,6 +43,10 @@ def main(argv=None) -> int:
     p.add_argument("--scene_frac", type=float, default=0.5,
                    help="Fraction of steps trained on scene pairs (real "
                         "viewpoint change + parallax) vs homography pairs")
+    p.add_argument("--render_hw", type=int, nargs=2, default=None,
+                   help="Render scene views at this resolution and train on "
+                        "random --hw crops (match the pipeline's pixel-scale "
+                        "appearance, e.g. 376 1232 for KITTI)")
     a = p.parse_args(argv)
 
     from simpleslam_tpu.models import train as train_mod
@@ -56,9 +60,11 @@ def main(argv=None) -> int:
         total_steps=a.steps)
     step_fn = train_mod.make_train_step(a_model, l_model, tx, (H, W))
 
-    print(f"rendering scene-pair pool ({a.scene_views} views at {H}x{W})...",
-          flush=True)
-    pool = train_mod.ScenePairPool((H, W), n_views=a.scene_views, seed=a.seed)
+    rhw = tuple(a.render_hw) if a.render_hw else (H, W)
+    print(f"rendering scene-pair pool ({a.scene_views} views at {rhw}, "
+          f"training on {H}x{W} crops)...", flush=True)
+    pool = train_mod.ScenePairPool((H, W), n_views=a.scene_views, seed=a.seed,
+                                   render_hw=rhw)
     rng = np.random.default_rng(a.seed + 2)
 
     key = jax.random.PRNGKey(a.seed + 1)
