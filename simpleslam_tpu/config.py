@@ -95,6 +95,8 @@ class SLAMConfig:
     seed: int = 0
     fused: bool = False                    # device-resident fused tracking loop
     fused_sync_every: int = 0              # 0 => sync host map only at KF events
+    tri_kf2: bool = False                  # triangulate new KFs vs the last TWO
+                                           # KFs (2x baseline -> better parallax)
     trace_dir: str = ""                    # jax profiler trace output dir
     prefetch: int = 1                      # threaded frame prefetch depth (0=off)
     save_state: str = ""                   # serialize pipeline state here at end/SIGINT
@@ -226,6 +228,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--fused_sync_every", type=int, default=d.fused_sync_every,
                    help="Force a host sync every N frames in --fused mode "
                         "(0 = only at keyframe events)")
+    g.add_argument("--tri_kf2", action="store_true",
+                   help="Triangulate each new keyframe against the last TWO "
+                        "keyframes (doubled baseline doubles the parallax-"
+                        "gate pass rate under forward motion; new points "
+                        "deduped per current-frame keypoint)")
     g.add_argument("--trace_dir", default=d.trace_dir,
                    help="Write a jax profiler trace here (open with xprof)")
     g.add_argument("--prefetch", type=int, default=d.prefetch,

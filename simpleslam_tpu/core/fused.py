@@ -102,6 +102,7 @@ class FusedConfig(NamedTuple):
     obs_slots: int        # O
     map_capacity: int     # C
     max_new: int          # per-KF new-landmark cap (static)
+    tri_kf2: bool         # also triangulate vs the second-to-last KF
     ba_points: int        # L_ba window slice
     log_capacity: int     # Fcap
     # thresholds (baked into the jitted program)
@@ -136,6 +137,7 @@ def make_fused_config(cfg, img_hw: Tuple[int, int], n_kp: int,
         obs_slots=4,
         map_capacity=int(cfg.map_capacity),
         max_new=min(1024, int(n_kp)),
+        tri_kf2=bool(getattr(cfg, "tri_kf2", False)),
         ba_points=min(4096, int(cfg.map_capacity)),
         log_capacity=int(log_capacity),
         ransac_thresh=float(cfg.ransac_thresh),
@@ -417,17 +419,14 @@ def build_fused_step(fc: FusedConfig,
                                + s[jnp.maximum(kk // 2, 0)]), 0.0)
         return n_inl, ratio, med
 
-    def triangulate_new(state, feats, kf_matches, frame_no):
-        """Triangulate prev-KF <-> new-KF matches, gate, and append the
-        survivors to the map (core/triangulate.py semantics, compaction by
-        rank-scatter instead of host loops). The new KF is the CURRENT frame
-        (slot written by the caller before this runs)."""
-        prev_slot = (state.kf_count - 1) % Kw
-        T0 = state.kf_pose[prev_slot]
+    def tri_candidates(state, feats, kf_matches, src_slot):
+        """Gated triangulation candidates for one (source KF <-> current
+        frame) match set. Returns (X, keep, uv0, uv1, d0, idx1)."""
+        T0 = state.kf_pose[src_slot]
         T1 = state.Tcw
         P0 = projection_matrix(Kj, T0)
         P1 = projection_matrix(Kj, T1)
-        uv0 = state.kf_kpts[prev_slot][kf_matches.idx0]
+        uv0 = state.kf_kpts[src_slot][kf_matches.idx0]
         uv1 = feats.kpts[kf_matches.idx1]
         X = triangulate_two_view(P0, P1, uv0, uv1)
         keep, _why = two_view_gates(
@@ -436,6 +435,38 @@ def build_fused_step(fc: FusedConfig,
             min_parallax_deg=fc.tri_parallax_min_deg,
             max_reproj_px=fc.tri_rep_err)
         keep = keep & kf_matches.valid & jnp.all(jnp.isfinite(X), axis=1)
+        d0 = state.kf_desc[src_slot][kf_matches.idx0]
+        return X, keep, uv0, uv1, d0, kf_matches.idx1
+
+    def triangulate_new(state, feats, cands):
+        """Gate, dedup, and append triangulation candidates to the map
+        (core/triangulate.py semantics, compaction by rank-scatter instead
+        of host loops). ``cands`` is a list of
+        (X, keep, uv0, uv1, d0, idx1, src_kf_no) tuples — one per source
+        keyframe matched against the CURRENT frame (the new KF, whose ring
+        slot the caller wrote before this runs). A current-frame keypoint
+        already consumed by an earlier candidate set is dropped from later
+        ones (one landmark per keypoint, like the host map's observation
+        uniqueness)."""
+        used = jnp.zeros((N,), bool)
+        Xs, keeps, uv0s, uv1s, d0s, srcs = [], [], [], [], [], []
+        for X, keep, uv0, uv1, d0, idx1, src_kf_no in cands:
+            keep = keep & ~used[idx1]
+            used = used.at[idx1].max(keep)
+            Xs.append(X)
+            keeps.append(keep)
+            uv0s.append(uv0)
+            uv1s.append(uv1)
+            d0s.append(d0)
+            srcs.append(jnp.full(keep.shape, src_kf_no, jnp.int32))
+        X = jnp.concatenate(Xs, axis=0)
+        keep = jnp.concatenate(keeps, axis=0)
+        uv0 = jnp.concatenate(uv0s, axis=0)
+        uv1 = jnp.concatenate(uv1s, axis=0)
+        d0 = jnp.concatenate(d0s, axis=0)
+        src_kf = jnp.concatenate(srcs, axis=0)
+        idx1_all = jnp.concatenate([c[5] for c in cands], axis=0)
+        d1 = feats.desc[idx1_all]
 
         # rank-compaction: destination row for each kept match
         rank = jnp.cumsum(keep.astype(jnp.int32)) - 1       # (M,)
@@ -444,7 +475,6 @@ def build_fused_step(fc: FusedConfig,
         dest = jnp.where(keep, state.n_points + rank, C)    # C = dump row
         n_new = jnp.sum(keep.astype(jnp.int32))
 
-        kf_no_prev = state.kf_count - 1
         kf_no_cur = state.kf_count
 
         # scatter (with one dump row of padding at index C)
@@ -457,8 +487,6 @@ def build_fused_step(fc: FusedConfig,
         alive = put(state.alive, keep)
         # descriptor ring: slots 0/1 = the two observing descriptors
         ring = state.desc_ring
-        d0 = state.kf_desc[prev_slot][kf_matches.idx0]
-        d1 = feats.desc[kf_matches.idx1]
         pad_r = jnp.zeros((1,) + ring.shape[1:], ring.dtype)
         ring2 = jnp.concatenate([ring, pad_r], axis=0)
         ring2 = ring2.at[dest, 0].set(d0.astype(ring.dtype))
@@ -469,7 +497,7 @@ def build_fused_step(fc: FusedConfig,
         obs_kf = state.obs_kf
         pad_o = jnp.zeros((1, O), obs_kf.dtype)
         obs_kf2 = jnp.concatenate([obs_kf, pad_o], axis=0)
-        obs_kf2 = obs_kf2.at[dest, 0].set(kf_no_prev)
+        obs_kf2 = obs_kf2.at[dest, 0].set(src_kf)
         obs_kf2 = obs_kf2.at[dest, 1].set(kf_no_cur)
         obs_kf = obs_kf2[:C]
         obs_uv = state.obs_uv
@@ -568,6 +596,7 @@ def build_fused_step(fc: FusedConfig,
         rot = se3.rotation_angle_deg(
             state.Tcw[:3, :3] @ state.kf_pose[prev_slot][:3, :3].T)
         consider = (age > fc.kf_cooldown) | (rot >= fc.kf_min_rot_deg)
+        key, k_m2 = jax.random.split(key)
 
         def evaluate(_):
             kf_m = match_ransac(key, kf_features(state, prev_slot), feats)
@@ -598,7 +627,23 @@ def build_fused_step(fc: FusedConfig,
                 kf_frame_no=state.kf_frame_no.at[slot].set(frame_no),
                 kf_first_row=state.kf_first_row.at[slot].set(state.n_points),
             )
-            state, n_new = triangulate_new(state, feats, kf_m, frame_no)
+            kf_no_prev = state.kf_count - 1
+            cands = [tri_candidates(state, feats, kf_m, prev_slot)
+                     + (kf_no_prev,)]
+            if fc.tri_kf2:
+                # second source KF: double the baseline doubles the
+                # parallax-gate pass rate for far/forward-motion geometry —
+                # the generalization the reference's multi-view API
+                # (multi_view_utils stale tests) points at
+                prev2_slot = (state.kf_count - 2) % Kw
+                kf_m2 = match_ransac(k_m2, kf_features(state, prev2_slot),
+                                     feats)
+                X2, keep2, uv02, uv12, d02, idx12 = tri_candidates(
+                    state, feats, kf_m2, prev2_slot)
+                keep2 = keep2 & (state.kf_count >= 2)
+                cands.append((X2, keep2, uv02, uv12, d02, idx12,
+                              kf_no_prev - 1))
+            state, n_new = triangulate_new(state, feats, cands)
             state = state.replace(
                 kf_count=state.kf_count + 1,
                 last_kf_frame_no=frame_no)

@@ -36,8 +36,13 @@ logger = logging.getLogger("triangulation")
 def triangulate_between_kfs_2view(
     args, K: np.ndarray, prev_kf: Keyframe, cur_kf: Keyframe, world_map,
     matcher, *, parallax_min_deg: float = 2.0, key=None,
+    exclude_cur_kp=None,
 ) -> List[int]:
-    """Triangulate new landmarks between the last two keyframes."""
+    """Triangulate new landmarks between two keyframes.
+
+    ``exclude_cur_kp``: optional set/array of cur-KF keypoint indices that
+    already observe a landmark (used by the --tri_kf2 second pass to avoid
+    duplicating points for the same current-frame keypoint)."""
     matches = match_with_ransac(args, matcher, prev_kf.feats, cur_kf.feats,
                                 key=key)
     mvalid = np.asarray(matches.valid)
@@ -66,6 +71,9 @@ def triangulate_between_kfs_2view(
 
     finite = np.asarray(jnp.all(jnp.isfinite(X), axis=1))
     keep = np.asarray(keep) & mvalid & finite
+    if exclude_cur_kp is not None and len(exclude_cur_kp):
+        keep &= ~np.isin(np.asarray(matches.idx1),
+                         np.fromiter(exclude_cur_kp, np.int64))
 
     # rejection bookkeeping (reference logs a reason Counter,
     # triangulation_utils.py:171,267-269)

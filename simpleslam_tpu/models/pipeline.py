@@ -19,7 +19,9 @@ from simpleslam_tpu.models import lightglue as lg_mod
 
 DESC_DIM = 128
 
-# repo-local checkpoint written by models/train_frontend.py
+# repo-local checkpoint written by models/train_frontend.py;
+# SLAM_FRONTEND_CKPT overrides the directory (orbax tree with
+# {"aliked": ..., "lightglue": ...})
 _CKPT_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "checkpoints",
     "learned_frontend")
@@ -31,11 +33,13 @@ def _load_repo_checkpoint():
     if _CKPT_CACHE[0]:
         return _CKPT_CACHE[1]
     _CKPT_CACHE[0] = True
-    if os.path.isdir(_CKPT_DIR):
+    ckpt_dir = os.environ.get("SLAM_FRONTEND_CKPT", _CKPT_DIR)
+    if os.path.isdir(ckpt_dir):
         try:
             import orbax.checkpoint as ocp
 
-            _CKPT_CACHE[1] = ocp.StandardCheckpointer().restore(_CKPT_DIR)
+            _CKPT_CACHE[1] = ocp.StandardCheckpointer().restore(
+                os.path.abspath(ckpt_dir))
         except Exception:
             _CKPT_CACHE[1] = None
     return _CKPT_CACHE[1]

@@ -338,6 +338,18 @@ class SLAMSystem:
                     self.matcher,
                     parallax_min_deg=cfg.triangulation_parallax_min_deg,
                     key=self._next_key())
+                if getattr(cfg, "tri_kf2", False) and len(self.kfs) >= 3:
+                    # second pass vs the KF before: doubled baseline recovers
+                    # the forward-motion geometry the 2 deg parallax gate
+                    # rejects at single-KF baselines
+                    used = {self.world_map.points[p].observations[-1][1]
+                            for p in new_ids
+                            if p in self.world_map.points}
+                    new_ids += triangulate_between_kfs_2view(
+                        cfg, self.K, self.kfs[-3], self.kfs[-1],
+                        self.world_map, self.matcher,
+                        parallax_min_deg=cfg.triangulation_parallax_min_deg,
+                        key=self._next_key(), exclude_cur_kp=used)
         if len(new_ids) >= cfg.local_ba_min_new_points and len(self.kfs) >= 2:
             try:
                 poses_before = None

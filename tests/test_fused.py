@@ -21,9 +21,10 @@ def corridor(tmp_path_factory):
     return base
 
 
-def _cfg(base, fused):
+def _cfg(base, fused, *extra):
     argv = ["--dataset", "kitti", "--base_dir", base, "--headless",
-            "--no_viz3d", "--max_features", "512", "--map_capacity", "2048"]
+            "--no_viz3d", "--max_features", "512", "--map_capacity", "2048",
+            *extra]
     if fused:
         argv.append("--fused")
     return parse_config(argv)
@@ -45,3 +46,17 @@ def test_fused_matches_host(corridor, tmp_path, monkeypatch):
     assert res_fused.n_landmarks > 0.5 * res_host.n_landmarks
     # one pose logged per frame
     assert len(res_fused.poses_cw) == res_fused.n_frames
+
+
+def test_tri_kf2_grows_map(corridor, tmp_path, monkeypatch):
+    """--tri_kf2 triangulates each new KF against the last TWO keyframes:
+    the doubled baseline must add landmarks the single-pair pass rejects on
+    parallax, in both the host and the fused drivers, without hurting ATE."""
+    monkeypatch.chdir(tmp_path)
+    res1 = run(_cfg(corridor, True))
+    res2 = run(_cfg(corridor, True, "--tri_kf2"))
+    assert res2.ate is not None and res2.ate < 1.0
+    assert res2.n_landmarks > res1.n_landmarks
+    res2h = run(_cfg(corridor, False, "--tri_kf2"))
+    assert res2h.ate is not None and res2h.ate < 1.0
+    assert res2h.tracking_lost_count == 0
