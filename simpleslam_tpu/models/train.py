@@ -130,7 +130,9 @@ def synthetic_pair_batch(key, B: int, H: int, W: int, G: int):
     """Batch of correspondence-labelled homography pairs.
 
     Returns dict: img0/img1 (B,H,W,1) in [0,1], pts0/pts1 (B,G,2) pixel
-    correspondences, pt_valid (B,G), Hmats (B,3,3).
+    correspondences, pt_valid (B,G), Hmats (B,3,3), plus the dense
+    warp01 (B,H,W,2) view0-pixel -> view1-pixel field and warp_valid
+    (B,H,W) for the peak-alignment repeatability loss.
     """
     keys = jax.random.split(key, 4)
     img0 = _smooth_noise(keys[0], B, H, W)
@@ -149,8 +151,17 @@ def synthetic_pair_batch(key, B: int, H: int, W: int, G: int):
     pts0 = jax.vmap(_warp_points)(Hmats, pts1)
     valid = ((pts0[..., 0] >= m) & (pts0[..., 0] < W - m)
              & (pts0[..., 1] >= m) & (pts0[..., 1] < H - m))
+
+    # dense view0 -> view1 warp (x1 = H^-1 x0)
+    yy, xx = jnp.mgrid[0:H, 0:W].astype(jnp.float32)
+    grid = jnp.stack([xx, yy], -1).reshape(-1, 2)
+    w01 = jax.vmap(lambda Hi: _warp_points(Hi, grid))(Hinv)
+    w01 = w01.reshape(B, H, W, 2)
+    wv = ((w01[..., 0] >= m) & (w01[..., 0] < W - m)
+          & (w01[..., 1] >= m) & (w01[..., 1] < H - m))
     return dict(img0=img0[..., None], img1=img1[..., None],
-                pts0=pts0, pts1=pts1, pt_valid=valid, Hmats=Hmats)
+                pts0=pts0, pts1=pts1, pt_valid=valid, Hmats=Hmats,
+                warp01=w01, warp_valid=wv)
 
 
 # --------------------------------------------------------------------------- #
@@ -203,11 +214,19 @@ class ScenePairPool:
         self.n = len(self.imgs)
 
     def batch(self, rng: np.random.Generator, B: int, G: int,
-              max_gap: int = 4) -> Dict[str, np.ndarray]:
+              max_gap: int = 4,
+              scale_jitter: float = 0.25) -> Dict[str, np.ndarray]:
         """Correspondence-labelled view pairs, same dict layout as
         synthetic_pair_batch (Hmats omitted). When the pool renders larger
         than the training hw, each sample is an independent random crop of
-        both views (correspondences shifted by the crop offsets)."""
+        both views; view 1's crop is additionally scale-jittered (cropped at
+        a random size and resized to hw) so descriptors learn the
+        forward-motion scale changes that dominate close-range SLAM
+        matching. A dense warp01/warp_valid field (exact raycast
+        correspondence for EVERY view-0 crop pixel, occlusion-checked)
+        drives the peak-alignment repeatability loss."""
+        import cv2
+
         H, W = self.hw
         Hr, Wr = self.render_hw
         K = self.K
@@ -216,48 +235,78 @@ class ScenePairPool:
         pts0 = np.zeros((B, G, 2), np.float32)
         pts1 = np.zeros((B, G, 2), np.float32)
         valid = np.zeros((B, G), bool)
+        warp01 = np.zeros((B, H, W, 2), np.float32)
+        warp_valid = np.zeros((B, H, W), bool)
         m = 6
+        yy, xx = np.mgrid[0:H, 0:W]
         for b in range(B):
             i = int(rng.integers(0, self.n))
             j = int(np.clip(i + rng.integers(1, max_gap + 1)
                             * (1 if rng.random() < 0.5 else -1), 0, self.n - 1))
             if j == i:
                 j = min(i + 1, self.n - 1)
-            # independent crop offsets per view
+            # crop offsets; view 1 crops at a jittered size then resizes
+            s = float(np.exp(rng.uniform(-np.log(1 + scale_jitter),
+                                         np.log(1 + scale_jitter)))) \
+                if scale_jitter > 0 else 1.0
+            H1 = int(np.clip(round(H * s), 32, Hr))
+            W1 = int(np.clip(round(W * s), 32, Wr))
             ox0 = int(rng.integers(0, Wr - W + 1))
             oy0 = int(rng.integers(0, Hr - H + 1))
-            ox1 = int(rng.integers(0, Wr - W + 1))
-            oy1 = int(rng.integers(0, Hr - H + 1))
+            # center view-1's crop on the projected center of view-0's crop
+            # (plus jitter) so the pair always overlaps when geometry allows
+            Xc0 = self.pts[i][oy0 + H // 2, ox0 + W // 2]
+            T1c = np.linalg.inv(self.poses[j])
+            pc = T1c[:3, :3] @ Xc0 + T1c[:3, 3]
+            zc = max(float(pc[2]), 1e-3)
+            uc = float(pc[0] / zc * K[0, 0] + K[0, 2])
+            vc = float(pc[1] / zc * K[1, 1] + K[1, 2])
+            jx = float(rng.uniform(-0.25, 0.25)) * W1
+            jy = float(rng.uniform(-0.25, 0.25)) * H1
+            ox1 = int(np.clip(round(uc - W1 / 2 + jx), 0, Wr - W1))
+            oy1 = int(np.clip(round(vc - H1 / 2 + jy), 0, Hr - H1))
             img0[b, ..., 0] = self.imgs[i][oy0:oy0 + H, ox0:ox0 + W] / 255.0
-            img1[b, ..., 0] = self.imgs[j][oy1:oy1 + H, ox1:ox1 + W] / 255.0
+            crop1 = self.imgs[j][oy1:oy1 + H1, ox1:ox1 + W1]
+            img1[b, ..., 0] = cv2.resize(
+                crop1.astype(np.float32), (W, H),
+                interpolation=cv2.INTER_AREA if s > 1 else cv2.INTER_LINEAR) \
+                / 255.0
+            sx, sy = W / W1, H / H1
 
-            # sample view-0 pixels inside crop 0 (integer centers: the
-            # raycast hit points are exact AT pixel centers), project into
-            # view 1, require inside crop 1
-            xs = rng.integers(ox0 + m, ox0 + W - m, 4 * G).astype(np.float32)
-            ys = rng.integers(oy0 + m, oy0 + H - m, 4 * G).astype(np.float32)
-            Xw = self.pts[i][ys.astype(int), xs.astype(int)]       # (4G,3)
+            # dense warp: EVERY view-0 crop pixel's raycast hit point,
+            # projected into view 1 and mapped to view-1 crop coordinates
+            Xw = self.pts[i][oy0:oy0 + H, ox0:ox0 + W].reshape(-1, 3)
             T1_cw = np.linalg.inv(self.poses[j])
             Xc = Xw @ T1_cw[:3, :3].T + T1_cw[:3, 3]
             z = Xc[:, 2]
             uv = (Xc[:, :2] / np.maximum(z[:, None], 1e-6)) \
                 * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
-            inb = (z > 0.2) \
-                & (uv[:, 0] >= ox1 + m) & (uv[:, 0] < ox1 + W - m) \
-                & (uv[:, 1] >= oy1 + m) & (uv[:, 1] < oy1 + H - m)
             # occlusion: the other view's ray depth at uv must match |Xc|
             ui = np.clip(uv[:, 0].astype(int), 0, Wr - 1)
             vi = np.clip(uv[:, 1].astype(int), 0, Hr - 1)
             d1 = self.depth[j][vi, ui]
             r1 = np.linalg.norm(Xc, axis=1)
-            vis = inb & (np.abs(d1 - r1) < 0.15 * np.maximum(r1, 1.0))
-            sel = np.flatnonzero(vis)[:G]
-            k = len(sel)
-            pts0[b, :k] = np.stack([xs[sel] - ox0, ys[sel] - oy0], 1)
-            pts1[b, :k] = uv[sel] - [ox1, oy1]
-            valid[b, :k] = True
+            inb_r = (z > 0.2) & (uv[:, 0] >= 0) & (uv[:, 0] < Wr) \
+                & (uv[:, 1] >= 0) & (uv[:, 1] < Hr)
+            vis = inb_r & (np.abs(d1 - r1) < 0.15 * np.maximum(r1, 1.0))
+            u1 = (uv[:, 0] - ox1) * sx
+            v1 = (uv[:, 1] - oy1) * sy
+            in_crop1 = (u1 >= m) & (u1 < W - m) & (v1 >= m) & (v1 < H - m)
+            warp01[b] = np.stack([u1, v1], 1).reshape(H, W, 2)
+            warp_valid[b] = (vis & in_crop1).reshape(H, W)
+
+            # sparse correspondences: sample from the valid warp field
+            # (inside the view-0 margin)
+            in0 = (xx >= m) & (xx < W - m) & (yy >= m) & (yy < H - m)
+            cand = np.flatnonzero((warp_valid[b] & in0).reshape(-1))
+            if len(cand):
+                sel = rng.choice(cand, size=min(G, len(cand)), replace=False)
+                k = len(sel)
+                pts0[b, :k] = np.stack([(sel % W), (sel // W)], 1)
+                pts1[b, :k] = warp01[b].reshape(-1, 2)[sel]
+                valid[b, :k] = True
         return dict(img0=img0, img1=img1, pts0=pts0, pts1=pts1,
-                    pt_valid=valid)
+                    pt_valid=valid, warp01=warp01, warp_valid=warp_valid)
 
 
 def photometric_augment(rng: np.random.Generator,
@@ -289,6 +338,48 @@ def _sample_many(desc_map, pts):
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
 
 
+def _peak_align_loss(score0, score1, warp01, wvalid, n_peaks: int = 128,
+                     r: int = 3, tau: float = 0.5):
+    """Detector repeatability via peak alignment (ONE image pair).
+
+    Take view0's strongest NMS peaks (selection stop-gradded), carry each
+    through the dense GT warp into view1, and require view1's score map to
+    peak AT the warped location within its (2r+1)^2 window — a local
+    softmax NLL with the warped pixel as the target bin. This is what
+    'repeatable detector' actually means (the score-VALUE equality loss it
+    supplements cannot align argmaxes); the recipe is the standard
+    reprojection-peakiness training used by modern learned detectors.
+    """
+    H, W = score0.shape
+    nms = aliked_mod._nms_mask(score0[None], 2)[0]
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    border = 8
+    inb = ((xx >= border) & (xx < W - border)
+           & (yy >= border) & (yy < H - border))
+    gated = jnp.where(nms & inb & wvalid, score0, -jnp.inf)
+    v, idx = jax.lax.top_k(
+        jax.lax.stop_gradient(gated).reshape(-1), n_peaks)
+    ys = (idx // W).astype(jnp.int32)
+    xs = (idx % W).astype(jnp.int32)
+    ok = jnp.isfinite(v)
+    q = warp01[ys, xs]                                   # (P,2) view1 px
+    ok &= (q[:, 0] >= r + 1) & (q[:, 0] < W - r - 1) \
+        & (q[:, 1] >= r + 1) & (q[:, 1] < H - r - 1)
+    qx = jnp.clip(jnp.round(q[:, 0]).astype(jnp.int32), r, W - 1 - r)
+    qy = jnp.clip(jnp.round(q[:, 1]).astype(jnp.int32), r, H - 1 - r)
+
+    def win(y, x):
+        return jax.lax.dynamic_slice(score1, (y - r, x - r),
+                                     (2 * r + 1, 2 * r + 1))
+
+    Wn = jax.vmap(win)(qy, qx).reshape(n_peaks, -1)       # (P, (2r+1)^2)
+    logp = jax.nn.log_softmax(Wn / tau, axis=-1)
+    center = (2 * r + 1) * r + r
+    return -jnp.sum(jnp.where(ok, logp[:, center], 0.0)) \
+        / jnp.maximum(jnp.sum(ok), 1)
+
+
 def loss_fn(params, a_model, l_model, batch, image_hw):
     score0, dmap0 = a_model.apply(params["aliked"], batch["img0"])
     score1, dmap1 = a_model.apply(params["aliked"], batch["img1"])
@@ -299,11 +390,16 @@ def loss_fn(params, a_model, l_model, batch, image_hw):
     d0 = jax.vmap(_sample_many)(dmap0, pts0)   # (B, G, D)
     d1 = jax.vmap(_sample_many)(dmap1, pts1)
 
-    # descriptor InfoNCE within each image pair
+    # descriptor InfoNCE within each image pair, BOTH directions (the
+    # windowed 2D-3D association queries map-desc -> frame-desc and the
+    # matcher the reverse; symmetric training covers both)
     sim = jnp.einsum("bgd,bhd->bgh", d0, d1) / 0.1
-    sim = jnp.where(pv[:, None, :], sim, -1e9)
-    logp = jax.nn.log_softmax(sim, axis=-1)
-    diag = jnp.einsum("bgg->bg", logp)
+    sim01 = jnp.where(pv[:, None, :], sim, -1e9)
+    logp01 = jax.nn.log_softmax(sim01, axis=-1)
+    sim10 = jnp.where(pv[:, :, None], sim, -1e9)
+    logp10 = jax.nn.log_softmax(sim10, axis=-2)
+    diag = (jnp.einsum("bgg->bg", logp01) + jnp.einsum("bgg->bg", logp10)) \
+        * 0.5
     l_desc = -jnp.sum(jnp.where(pv, diag, 0.0)) / jnp.maximum(jnp.sum(pv), 1)
 
     # score repeatability: score1 at pts1 should equal score0 at pts0
@@ -313,6 +409,14 @@ def loss_fn(params, a_model, l_model, batch, image_hw):
     s0 = jax.vmap(sample_score)(score0, pts0)
     s1 = jax.vmap(sample_score)(score1, pts1)
     l_rep = jnp.sum(jnp.where(pv, (s0 - s1) ** 2, 0.0)) / jnp.maximum(jnp.sum(pv), 1)
+
+    # peak ALIGNMENT across views (repeatability proper) when the batch
+    # carries a dense warp field
+    if "warp01" in batch:
+        l_peak = jnp.mean(jax.vmap(_peak_align_loss)(
+            score0, score1, batch["warp01"], batch["warp_valid"]))
+    else:
+        l_peak = jnp.float32(0.0)
     # keep score responses informative (anti-collapse); clamp the magnitude
     # penalty — a transient activation blow-up must not inf the total loss
     l_reg = jnp.mean(jax.nn.relu(1.0 - jnp.std(score0, axis=(1, 2)))) \
@@ -328,9 +432,10 @@ def loss_fn(params, a_model, l_model, batch, image_hw):
     sig0c = jnp.clip(sig0, 1e-6, 1.0 - 1e-6)
     l_sig = -jnp.mean(jnp.where(pv, jnp.log(sig0c), jnp.log(1.0 - sig0c)))
 
-    total = l_desc + 0.5 * l_rep + 0.1 * l_reg + l_match + 0.1 * l_sig
-    return total, {"desc": l_desc, "rep": l_rep, "match": l_match,
-                   "sig": l_sig, "total": total}
+    total = (l_desc + 0.5 * l_rep + 0.5 * l_peak + 0.1 * l_reg
+             + l_match + 0.1 * l_sig)
+    return total, {"desc": l_desc, "rep": l_rep, "peak": l_peak,
+                   "match": l_match, "sig": l_sig, "total": total}
 
 
 def make_train_step(a_model, l_model, tx, image_hw):

@@ -84,6 +84,7 @@ def main(argv=None) -> int:
             m = {k: float(v) for k, v in metrics.items()}
             print(f"step {i:5d}  total {m['total']:.4f}  desc {m['desc']:.4f}"
                   f"  match {m['match']:.4f}  rep {m['rep']:.4f}"
+                  f"  peak {m.get('peak', 0.0):.4f}"
                   f"  sig {m.get('sig', 0.0):.4f}"
                   f"  ({time.perf_counter() - t0:.0f}s)", flush=True)
 
