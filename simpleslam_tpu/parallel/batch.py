@@ -18,6 +18,46 @@ from simpleslam_tpu.models import aliked as aliked_mod
 from simpleslam_tpu.models import lightglue as lg_mod
 
 
+def sharded_extract(a_model, a_params, images: jax.Array, mesh: Mesh, *,
+                    max_kp: int):
+    """Batched ALIKED extraction, batch sharded over the 'dp' mesh axis.
+
+    images: (B, H, W, 1) float32 in [0, 1]; B divisible by dp. Returns
+    Features with a leading batch axis (sharded; device_get to gather).
+    """
+    bspec = NamedSharding(mesh, P("dp"))
+    images = jax.device_put(images, bspec)
+
+    @jax.jit
+    def run(params_a, im):
+        return aliked_mod.extract_batch(a_model, params_a, im, max_kp)
+
+    return run(a_params, images)
+
+
+def sharded_extract_classical(det_fn, grays: jax.Array, mesh: Mesh):
+    """Batched classical extraction (ORB/SIFT/AKAZE detector fn vmapped),
+    batch sharded over 'dp'. grays: (B, H, W) float32; B divisible by dp."""
+    bspec = NamedSharding(mesh, P("dp"))
+    grays = jax.device_put(jax.numpy.asarray(grays, jax.numpy.float32), bspec)
+    return jax.jit(jax.vmap(det_fn))(grays)
+
+
+def sharded_match(l_model, l_params, f0: Features, f1: Features, mesh: Mesh,
+                  *, image_hw: Tuple[int, int], min_conf: float = 0.7):
+    """Batched LightGlue matching of already-extracted feature batches,
+    sharded over 'dp'."""
+    bspec = NamedSharding(mesh, P("dp"))
+    f0 = jax.device_put(f0, bspec)
+    f1 = jax.device_put(f1, bspec)
+
+    @jax.jit
+    def run(params_l, a, b):
+        return lg_mod.match_batch(l_model, params_l, a, b, image_hw, min_conf)
+
+    return run(l_params, f0, f1)
+
+
 def sharded_extract_and_match(a_model, a_params, l_model, l_params,
                               images0: jax.Array, images1: jax.Array,
                               mesh: Mesh, *, max_kp: int,

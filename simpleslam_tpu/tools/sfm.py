@@ -51,13 +51,15 @@ class StructureFromMotion:
     """Keyframe pre-pass -> E-chained poses -> triangulation -> global BA."""
 
     def __init__(self, cfg: SLAMConfig, K, kf_survival: float = 0.55,
-                 kf_min_gap: int = 1, kf_max_gap: int = 10):
+                 kf_min_gap: int = 1, kf_max_gap: int = 10, mesh=None):
         self.cfg = cfg
         self.K = np.asarray(K, np.float64)
         self.detector, self.matcher = frontend.init_feature_pipeline(cfg)
         self.kf_survival = float(kf_survival)
         self.kf_min_gap = int(kf_min_gap)
         self.kf_max_gap = int(kf_max_gap)
+        self.mesh = mesh          # jax.sharding.Mesh -> shard the batch
+                                  # extraction over its 'dp' axis
         self._frames: List = []
         self._key = jax.random.PRNGKey(cfg.seed)
 
@@ -75,13 +77,45 @@ class StructureFromMotion:
         return imread_bgr(f)
 
     # ----------------------------------------------------------- pipeline
+    def _extract_all(self):
+        """Per-frame features; with a mesh, ONE batched extraction program
+        sharded over the 'dp' axis (the offline throughput mode, SURVEY.md
+        §2 — frames are independent, so extraction is the fan-out axis)."""
+        if self.mesh is None:
+            return [frontend.feature_extractor(
+                self.cfg, self._load(f), self.detector)
+                for f in self._frames]
+
+        from simpleslam_tpu.ops.features import rgb_to_gray
+        from simpleslam_tpu.parallel.batch import (sharded_extract,
+                                                   sharded_extract_classical)
+
+        imgs = [self._load(f) for f in self._frames]
+        grays = np.stack([
+            np.asarray(rgb_to_gray(jnp.asarray(im))) if im.ndim == 3
+            else im.astype(np.float32) for im in imgs])
+        F = len(grays)
+        dp = self.mesh.shape["dp"]
+        pad = (-F) % (dp * max(1, self.mesh.shape.get("tp", 1)))
+        if pad:
+            grays = np.concatenate([grays, np.repeat(grays[-1:], pad, 0)])
+        if self.detector.learned:
+            images = (grays.astype(np.float32) / 255.0)[..., None]
+            self.detector.image_hw = grays.shape[1:3]  # matcher pos-norm
+            fb = sharded_extract(self.detector.model, self.detector.params,
+                                 jnp.asarray(images), self.mesh,
+                                 max_kp=self.detector.max_kp)
+        else:
+            fb = sharded_extract_classical(self.detector.fn,
+                                           jnp.asarray(grays), self.mesh)
+        fb = jax.device_get(fb)
+        return [jax.tree.map(lambda x: jnp.asarray(x[i]), fb)
+                for i in range(F)]
+
     def _keyframe_prepass(self):
         """Select keyframes by match-survival ratio against the last KF
         (the prototype's thumbs-up pre-pass, refrences/sfm.py)."""
-        feats = []
-        for f in self._frames:
-            feats.append(frontend.feature_extractor(
-                self.cfg, self._load(f), self.detector))
+        feats = self._extract_all()
         kf_ids = [0]
         last = 0
         n_last = max(int(np.asarray(feats[0].valid).sum()), 1)

