@@ -97,6 +97,8 @@ class SLAMConfig:
     fused_sync_every: int = 0              # 0 => sync host map only at KF events
     tri_kf2: bool = False                  # triangulate new KFs vs the last TWO
                                            # KFs (2x baseline -> better parallax)
+    fused_ba_points: int = 0               # fused-loop BA window point slice
+                                           # (0 => 4096); smaller = faster KFs
     trace_dir: str = ""                    # jax profiler trace output dir
     prefetch: int = 1                      # threaded frame prefetch depth (0=off)
     save_state: str = ""                   # serialize pipeline state here at end/SIGINT
@@ -228,6 +230,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--fused_sync_every", type=int, default=d.fused_sync_every,
                    help="Force a host sync every N frames in --fused mode "
                         "(0 = only at keyframe events)")
+    g.add_argument("--fused_ba_points", type=int, default=d.fused_ba_points,
+                   help="Static point-slice size of the fused-loop local BA "
+                        "(0 = 4096); the BA assembly cost is linear in it")
     g.add_argument("--tri_kf2", action="store_true",
                    help="Triangulate each new keyframe against the last TWO "
                         "keyframes (doubled baseline doubles the parallax-"

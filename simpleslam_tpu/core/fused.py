@@ -138,7 +138,8 @@ def make_fused_config(cfg, img_hw: Tuple[int, int], n_kp: int,
         map_capacity=int(cfg.map_capacity),
         max_new=min(1024, int(n_kp)),
         tri_kf2=bool(getattr(cfg, "tri_kf2", False)),
-        ba_points=min(4096, int(cfg.map_capacity)),
+        ba_points=min(int(getattr(cfg, "fused_ba_points", 0) or 4096),
+                      int(cfg.map_capacity)),
         log_capacity=int(log_capacity),
         ransac_thresh=float(cfg.ransac_thresh),
         ransac_hypotheses=int(cfg.ransac_hypotheses),
