@@ -161,11 +161,23 @@ def reproject_and_match_2d3d(
     if C <= chunk:
         scored = scored_chunk((uv_all, cand, desc_ring, n_desc))
     else:
+        def maybe_chunk(chunk_data):
+            """Chunks with zero candidates (rows past n_points, or fully
+            out-of-view) skip the two matmuls at RUNTIME: inside lax.map's
+            scan a lax.cond stays a real branch, so the common case of a
+            map filled well below capacity only pays for live chunks."""
+            cand_c = chunk_data[1]
+            return jax.lax.cond(
+                jnp.any(cand_c),
+                scored_chunk,
+                lambda _c: jnp.full((cand_c.shape[0], N), _INF),
+                chunk_data)
+
         ch = (uv_all.reshape(n_chunks, chunk, 2),
               cand.reshape(n_chunks, chunk),
               desc_ring.reshape(n_chunks, chunk, R, D),
               n_desc.reshape(n_chunks, chunk))
-        scored = jax.lax.map(scored_chunk, ch).reshape(C, N)
+        scored = jax.lax.map(maybe_chunk, ch).reshape(C, N)
 
     def best_of(kp_mask):
         s = jnp.where(kp_mask[None, :], scored, _INF)
