@@ -219,6 +219,27 @@ def cmd_e2e(a) -> int:
         f = flags[i]
         print(f"{frames_log[i]:5d} {int(f[0]):7d} {int(f[1]):2d}"
               f" {int(f[2]):5d} {int(f[3]):5d} {int(f[4]):6d} {int(f[5]):2d}")
+
+    # ATE vs the generator's ground-truth trajectory (bootstrap frames from
+    # the host map + fused-loop log)
+    from simpleslam_tpu.tools.synth import make_trajectory
+    from simpleslam_tpu.tools.trajectory_eval import ate_rmse
+
+    T_wc = make_trajectory(n_frames, speed=0.5, yaw_rate_deg=0.3)
+    est = {fi: np.asarray(p) for fi, p in
+           zip(system.frame_ids, system.world_map.poses)}
+    log_pose = np.asarray(state.log_pose)
+    for i in range(n):
+        if frames_log[i] >= 0:
+            est[int(frames_log[i])] = log_pose[i]
+    fids = sorted(est.keys())
+    est_T = np.stack([est[f] for f in fids])
+    ate, stats = ate_rmse(est_T, T_wc[fids][:, :3, :4], align="sim3")
+    lost = n - int(flags[:n, 0].sum())
+    print(f"ATE-RMSE (Sim3): {ate:.4f} m over {len(fids)} frames "
+          f"(scale {stats.get('scale', 0.0):.3f}), {lost} lost, "
+          f"map {int(np.asarray(state.n_points))} pts, "
+          f"{int(np.asarray(state.kf_count))} KFs")
     return 0
 
 
