@@ -97,6 +97,8 @@ class SLAMConfig:
     fused_sync_every: int = 0              # 0 => sync host map only at KF events
     tri_kf2: bool = False                  # triangulate new KFs vs the last TWO
                                            # KFs (2x baseline -> better parallax)
+    reloc: bool = True                     # KF 2D-3D relocalization on PnP
+                                           # failure (reference future-work)
     fused_ba_points: int = 0               # fused-loop BA window point slice
                                            # (0 => 4096); smaller = faster KFs
     trace_dir: str = ""                    # jax profiler trace output dir
@@ -230,6 +232,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--fused_sync_every", type=int, default=d.fused_sync_every,
                    help="Force a host sync every N frames in --fused mode "
                         "(0 = only at keyframe events)")
+    g.add_argument("--no_reloc", dest="reloc", action="store_false",
+                   help="Disable keyframe 2D-3D relocalization on PnP "
+                        "failure (the reference's unimplemented "
+                        "'trigger relocalization here' hook)")
     g.add_argument("--fused_ba_points", type=int, default=d.fused_ba_points,
                    help="Static point-slice size of the fused-loop local BA "
                         "(0 = 4096); the BA assembly cost is linear in it")

@@ -70,6 +70,8 @@ class FusedState:
     kf_valid: jax.Array       # (Kw,N)
     kf_frame_no: jax.Array    # (Kw,) i32 source frame number
     kf_first_row: jax.Array   # (Kw,) i32 first map row created AT this KF
+    kf_lm_row: jax.Array      # (Kw,N) i32 landmark row observed by each KF
+                              # keypoint (-1 = none) — relocalization index
     kf_count: jax.Array       # () i32 number of keyframes so far
     last_kf_frame_no: jax.Array  # () i32
     # map
@@ -103,6 +105,7 @@ class FusedConfig(NamedTuple):
     map_capacity: int     # C
     max_new: int          # per-KF new-landmark cap (static)
     tri_kf2: bool         # also triangulate vs the second-to-last KF
+    reloc: bool           # keyframe 2D-3D relocalization on PnP failure
     ba_points: int        # L_ba window slice
     log_capacity: int     # Fcap
     # thresholds (baked into the jitted program)
@@ -138,6 +141,7 @@ def make_fused_config(cfg, img_hw: Tuple[int, int], n_kp: int,
         map_capacity=int(cfg.map_capacity),
         max_new=min(1024, int(n_kp)),
         tri_kf2=bool(getattr(cfg, "tri_kf2", False)),
+        reloc=bool(getattr(cfg, "reloc", True)),
         ba_points=min(int(getattr(cfg, "fused_ba_points", 0) or 4096),
                       int(cfg.map_capacity)),
         log_capacity=int(log_capacity),
@@ -202,6 +206,7 @@ def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
     kf_valid = np.zeros((Kw, N), bool)
     kf_frame_no = np.full((Kw,), -1, np.int32)
     kf_first_row = np.zeros((Kw,), np.int32)
+    kf_lm_row = np.full((Kw, N), -1, np.int32)
     for kf in kfs[-Kw:]:
         s = kf.idx % Kw
         kf_pose[s] = np.asarray(kf.pose, np.float32)
@@ -211,6 +216,12 @@ def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
         kf_frame_no[s] = kf.frame_idx
         rows = np.flatnonzero(created == kf.idx)
         kf_first_row[s] = int(rows.min()) if rows.size else len(wm)
+    # keypoint -> landmark-row index per live KF (from the observation table)
+    for row, pid in enumerate(wm.points.keys()):
+        for (kf_idx, kp_idx, _d) in wm.points[pid].observations[:O]:
+            if kf_idx >= max(0, len(kfs) - Kw) and kf_idx < len(kfs) \
+                    and kp_idx < N:
+                kf_lm_row[kf_idx % Kw, kp_idx] = row
 
     poses = wm.poses
     Tcw = np.asarray(poses[-1], np.float32)
@@ -227,6 +238,7 @@ def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
         kf_desc=jnp.asarray(kf_desc), kf_valid=jnp.asarray(kf_valid),
         kf_frame_no=jnp.asarray(kf_frame_no),
         kf_first_row=jnp.asarray(kf_first_row),
+        kf_lm_row=jnp.asarray(kf_lm_row),
         kf_count=jnp.int32(len(kfs)),
         last_kf_frame_no=jnp.int32(system.last_kf_frame_no),
         positions=jnp.asarray(snap["positions"]),
@@ -356,7 +368,7 @@ def build_fused_step(fc: FusedConfig,
             max_hamm=fc.max_hamm, max_l2=fc.max_l2)
         n_cand = jnp.sum(assoc.valid.astype(jnp.int32))
 
-        k_pnp, k_match, k_ess = jax.random.split(key, 3)
+        k_pnp, k_match, k_ess, k_reloc = jax.random.split(key, 4)
         pts2d = feats.kpts[assoc.kp_idx]
         T_est, inl, n_inl, ok = pnp.solve_pnp_ransac(
             k_pnp, state.positions, pts2d, assoc.valid, Kj,
@@ -366,24 +378,49 @@ def build_fused_step(fc: FusedConfig,
             (n_cand >= fc.pnp_min_inliers)
 
         def fallback(_):
-            """2D-2D essential with const-velocity scale
-            (main_revamped.py:502-542); dead-reckon if E fails."""
-            matches_prev = match_ransac(k_match, features_of(state), feats)
-            p0 = state.prev_kpts[matches_prev.idx0]
-            p1 = feats.kpts[matches_prev.idx1]
-            E, e_inl, e_ok = epipolar.find_essential(
-                k_ess, p0, p1, matches_prev.valid, Kj, fc.ransac_thresh,
-                n_hyp=fc.ransac_hypotheses)
-            R, t, _good, _n = epipolar.recover_pose_essential(
-                E, p0, p1, e_inl, Kj)
-            T_rel_last = state.Tcw @ se3.T_inverse(state.Tcw_prev)
-            scale = jnp.linalg.norm(T_rel_last[:3, 3])
-            T_rel = se3.rt_to_T(R, t * scale)
-            T_fb = T_rel @ state.Tcw
-            return jnp.where(e_ok, T_fb, state.Tcw)
+            """Recovery chain on PnP failure: (1) RELOCALIZE — match the
+            current frame against the last keyframe and PnP on the
+            landmark rows its keypoints observe (the 'trigger
+            relocalization here in the future' the reference left
+            unimplemented, main_revamped.py:501); (2) 2D-2D essential with
+            const-velocity scale (main_revamped.py:502-542); (3)
+            dead-reckon."""
+            def essential(_):
+                matches_prev = match_ransac(k_match, features_of(state),
+                                            feats)
+                p0 = state.prev_kpts[matches_prev.idx0]
+                p1 = feats.kpts[matches_prev.idx1]
+                E, e_inl, e_ok = epipolar.find_essential(
+                    k_ess, p0, p1, matches_prev.valid, Kj, fc.ransac_thresh,
+                    n_hyp=fc.ransac_hypotheses)
+                R, t, _good, _n = epipolar.recover_pose_essential(
+                    E, p0, p1, e_inl, Kj)
+                T_rel_last = state.Tcw @ se3.T_inverse(state.Tcw_prev)
+                scale = jnp.linalg.norm(T_rel_last[:3, 3])
+                T_rel = se3.rt_to_T(R, t * scale)
+                T_fb = T_rel @ state.Tcw
+                return jnp.where(e_ok, T_fb, state.Tcw), jnp.asarray(False)
 
-        T_new = jax.lax.cond(use_pnp, lambda _: T_est, fallback, None)
-        return T_new, use_pnp, n_inl, n_cand, assoc, inl
+            if not fc.reloc:
+                return essential(None)
+
+            slot = (state.kf_count - 1) % Kw
+            m = match_fn(kf_features(state, slot), feats)
+            rows = state.kf_lm_row[slot][m.idx0]
+            rows_s = jnp.maximum(rows, 0)
+            ok_r = m.valid & (rows >= 0) & state.alive[rows_s] & \
+                (rows_s < state.n_points)
+            T_r, _inl_r, n_r, ok2 = pnp.solve_pnp_ransac(
+                k_reloc, state.positions[rows_s], feats.kpts[m.idx1],
+                ok_r, Kj, fc.ransac_thresh, Tcw_init=T_pred,
+                n_hyp=fc.ransac_hypotheses)
+            use_r = ok2 & (n_r >= fc.pnp_min_inliers)
+            return jax.lax.cond(
+                use_r, lambda _: (T_r, jnp.asarray(True)), essential, None)
+
+        T_new, relocd = jax.lax.cond(
+            use_pnp, lambda _: (T_est, jnp.asarray(False)), fallback, None)
+        return T_new, use_pnp, relocd, n_inl, n_cand, assoc, inl
 
     def refresh_rings(state, assoc, inl, feats):
         """Scatter this frame's PnP-inlier descriptors into the landmark
@@ -509,9 +546,18 @@ def build_fused_step(fc: FusedConfig,
         obs_uv = obs_uv2[:C]
         obs_n = put(state.obs_n, jnp.full_like(dest, 2))
 
+        # relocalization index for the CURRENT (new) keyframe: each kept
+        # candidate's current-frame keypoint observes its new landmark row
+        cur_slot = state.kf_count % Kw
+        lm_row = state.kf_lm_row[cur_slot]
+        lm_row = lm_row.at[idx1_all].max(
+            jnp.where(keep, dest, -1).astype(jnp.int32))
+        kf_lm_row = state.kf_lm_row.at[cur_slot].set(lm_row)
+
         return state.replace(
             positions=positions, alive=alive, desc_ring=ring, n_desc=n_desc,
             obs_kf=obs_kf, obs_uv=obs_uv, obs_n=obs_n,
+            kf_lm_row=kf_lm_row,
             n_points=jnp.minimum(state.n_points + n_new, C)), n_new
 
     # ------------------------------------------------------------- local BA
@@ -589,7 +635,7 @@ def build_fused_step(fc: FusedConfig,
                              Tcw=kf_pose[cur_slot])
 
     # ------------------------------------------------------------ the step
-    def maybe_keyframe(state, feats, img, frame_no, key):
+    def maybe_keyframe(state, feats, img, frame_no, key, assoc, inl):
         """Keyframe policy + triangulation + BA (select_keyframe +
         triangulate + local BA of the host driver, on device)."""
         prev_slot = (state.kf_count - 1) % Kw
@@ -617,8 +663,14 @@ def build_fused_step(fc: FusedConfig,
         is_kf, kf_m = jax.lax.cond(consider, evaluate, skip, None)
 
         def do_kf(state):
-            # append the new keyframe to the ring
+            # append the new keyframe to the ring; its relocalization index
+            # starts from this frame's PnP-inlier associations (old
+            # landmarks this KF observes), then triangulate_new adds the
+            # newly created rows
             slot = state.kf_count % Kw
+            lm_init = jnp.full((N,), -1, jnp.int32).at[assoc.kp_idx].max(
+                jnp.where(assoc.valid & inl,
+                          jnp.arange(C, dtype=jnp.int32), -1))
             state = state.replace(
                 kf_pose=state.kf_pose.at[slot].set(state.Tcw),
                 kf_kpts=state.kf_kpts.at[slot].set(feats.kpts),
@@ -627,6 +679,7 @@ def build_fused_step(fc: FusedConfig,
                 kf_valid=state.kf_valid.at[slot].set(feats.valid),
                 kf_frame_no=state.kf_frame_no.at[slot].set(frame_no),
                 kf_first_row=state.kf_first_row.at[slot].set(state.n_points),
+                kf_lm_row=state.kf_lm_row.at[slot].set(lm_init),
             )
             kf_no_prev = state.kf_count - 1
             cands = [tri_candidates(state, feats, kf_m, prev_slot)
@@ -678,16 +731,17 @@ def build_fused_step(fc: FusedConfig,
 
         feats = extract_fn(img)
 
-        T_new, tracked, n_inl, n_cand, assoc, inl = track(
+        T_new, pnp_ok, relocd, n_inl, n_cand, assoc, inl = track(
             state, feats, k_track)
+        tracked = pnp_ok | relocd
 
         state = state.replace(Tcw_prev=state.Tcw, Tcw=T_new)
         state = jax.lax.cond(
-            tracked, lambda s: refresh_rings(s, assoc, inl, feats),
+            pnp_ok, lambda s: refresh_rings(s, assoc, inl, feats),
             lambda s: s, state)
 
         state, is_kf, n_new, ba_ran = maybe_keyframe(
-            state, feats, img, frame_no, k_kf)
+            state, feats, img, frame_no, k_kf, assoc, inl)
 
         # log
         i = state.log_n % fc.log_capacity

@@ -280,10 +280,63 @@ class SLAMSystem:
         else:
             logger.info("[TRACK] too few 2D-3D candidates (%d)", n_cand)
 
+        if tracking_lost and cfg.reloc and self.kfs:
+            with self.timer.stage("reloc"):
+                if self._relocalize(frame_idx, feats, T_pred):
+                    tracking_lost = False
         if tracking_lost:
             self.tracking_lost_count += 1
             self._fallback_2d2d(frame_idx, feats, prev_feats, matches_prev)
         return not tracking_lost
+
+    def _relocalize(self, frame_idx: int, feats: Features,
+                    T_pred: np.ndarray) -> bool:
+        """Keyframe 2D-3D relocalization: match the current frame against
+        the last keyframe, PnP on the landmarks its keypoints observe (the
+        reference's unimplemented 'trigger relocalization here in the
+        future' hook, main_revamped.py:501)."""
+        cfg = self.cfg
+        kf = self.kfs[-1]
+        m = frontend.feature_matcher(cfg, kf.feats, feats, self.matcher)
+        kp2pid = {}
+        for pid, mp in self.world_map.points.items():
+            for (kf_idx, kp_idx, _d) in mp.observations:
+                if kf_idx == kf.idx:
+                    kp2pid[int(kp_idx)] = pid
+        idx0 = np.asarray(m.idx0)
+        idx1 = np.asarray(m.idx1)
+        mv = np.asarray(m.valid)
+        kpts = np.asarray(feats.kpts)
+        pts3d, pts2d = [], []
+        for a, b, v in zip(idx0, idx1, mv):
+            pid = kp2pid.get(int(a))
+            if v and pid is not None:
+                pts3d.append(np.asarray(
+                    self.world_map.points[pid].position, np.float32))
+                pts2d.append(kpts[int(b)])
+        if len(pts3d) < cfg.pnp_min_inliers:
+            return False
+        M = len(pts3d)
+        Mp = 1 << (max(M, 8) - 1).bit_length()      # pow2 pad: jit reuse
+        P3 = np.zeros((Mp, 3), np.float32)
+        P3[:M] = pts3d
+        P2 = np.zeros((Mp, 2), np.float32)
+        P2[:M] = pts2d
+        val = np.zeros(Mp, bool)
+        val[:M] = True
+        T_r, _inl, n_inl, ok = pnp.solve_pnp_ransac(
+            self._next_key(), jnp.asarray(P3), jnp.asarray(P2),
+            jnp.asarray(val), jnp.asarray(self.K, jnp.float32),
+            cfg.ransac_thresh, Tcw_init=jnp.asarray(T_pred, jnp.float32),
+            n_hyp=cfg.ransac_hypotheses)
+        if bool(ok) and int(n_inl) >= cfg.pnp_min_inliers:
+            self.world_map.add_pose(np.asarray(T_r, np.float64),
+                                    is_keyframe=False)
+            self.frame_ids.append(frame_idx)
+            logger.info("[RELOC] recovered pose via KF %d (inliers=%d/%d)",
+                        kf.idx, int(n_inl), M)
+            return True
+        return False
 
     def _fallback_2d2d(self, frame_idx: int, feats: Features,
                        prev_feats: Features, matches: Matches) -> None:
