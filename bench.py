@@ -67,13 +67,10 @@ def bench_e2e_fused(small: bool, use_learned: bool = True, extra_argv=()):
     argv = ["--dataset", "kitti", "--headless", "--no_viz3d",
             "--max_features", str(n_kp), "--map_capacity", str(cap)]
     if use_learned:
-        # the learned-pipeline operating point (diagnosed on the corridor at
-        # full scale): permissive matcher gate + two-KF triangulation +
-        # 3-frame keyframe cadence keep the map replenished against the
-        # learned detector's ~0.5 per-frame repeatability; without them the
-        # candidate pool decays ~10%/frame and tracking starves
-        argv += ["--use_lightglue", "--min_conf", "0.3", "--tri_kf2",
-                 "--kf_cooldown", "2"]
+        # reference-default thresholds; --tri_kf2 (two-KF triangulation)
+        # covers the forward-motion parallax the 2-deg gate starves at
+        # single-KF baselines
+        argv += ["--use_lightglue", "--tri_kf2"]
     argv += list(extra_argv)
     cfg = parse_config(argv)
 
