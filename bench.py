@@ -69,8 +69,15 @@ def bench_e2e_fused(small: bool, use_learned: bool = True, extra_argv=()):
     if use_learned:
         # reference-default thresholds; --tri_kf2 (two-KF triangulation)
         # covers the forward-motion parallax the 2-deg gate starves at
-        # single-KF baselines
+        # single-KF baselines; the 2048-row BA slice still spans the last
+        # ~3 keyframes' landmarks (ATE 0.020 vs 0.015 m at 4096 on the
+        # corridor) at half the per-KF solve cost
         argv += ["--use_lightglue", "--tri_kf2"]
+        if not small:
+            # quality at exactly these settings: ATE 0.0198 m, 0 lost
+            # (tools/diagnose e2e; 0.0154 m at the 4096/12-iter defaults)
+            argv += ["--fused_ba_points", "2048",
+                     "--local_ba_max_iters", "8"]
     argv += list(extra_argv)
     cfg = parse_config(argv)
 

@@ -369,11 +369,23 @@ def build_fused_step(fc: FusedConfig,
         n_cand = jnp.sum(assoc.valid.astype(jnp.int32))
 
         k_pnp, k_match, k_ess, k_reloc = jax.random.split(key, 4)
-        pts2d = feats.kpts[assoc.kp_idx]
-        T_est, inl, n_inl, ok = pnp.solve_pnp_ransac(
-            k_pnp, state.positions, pts2d, assoc.valid, Kj,
+        # compact the associated candidates from map-capacity rows (C) to a
+        # dense slot buffer before RANSAC: the hypothesis scoring is linear
+        # in the input rows and candidates are a small fraction of capacity
+        S = min(2048, C)
+        rank = jnp.cumsum(assoc.valid.astype(jnp.int32)) - 1
+        slot_ok = assoc.valid & (rank < S)
+        dest = jnp.where(slot_ok, rank, S)
+        row_of_slot = jnp.full((S + 1,), -1, jnp.int32) \
+            .at[dest].set(jnp.arange(C, dtype=jnp.int32))[:S]
+        slot_valid = row_of_slot >= 0
+        row_s = jnp.maximum(row_of_slot, 0)
+        T_est, inl_s, n_inl, ok = pnp.solve_pnp_ransac(
+            k_pnp, state.positions[row_s],
+            feats.kpts[assoc.kp_idx[row_s]], slot_valid, Kj,
             fc.ransac_thresh, Tcw_init=T_pred,
             n_hyp=fc.ransac_hypotheses)
+        inl = jnp.zeros((C,), bool).at[row_s].max(inl_s & slot_valid)
         use_pnp = ok & (n_inl >= fc.pnp_min_inliers) & \
             (n_cand >= fc.pnp_min_inliers)
 

