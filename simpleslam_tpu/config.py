@@ -101,6 +101,8 @@ class SLAMConfig:
                                            # failure (reference future-work)
     fused_ba_points: int = 0               # fused-loop BA window point slice
                                            # (0 => 4096); smaller = faster KFs
+    map_evict_age: int = 50                # fused map: evict landmarks unseen
+                                           # this many frames when near capacity
     trace_dir: str = ""                    # jax profiler trace output dir
     prefetch: int = 1                      # threaded frame prefetch depth (0=off)
     save_state: str = ""                   # serialize pipeline state here at end/SIGINT
@@ -236,6 +238,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Disable keyframe 2D-3D relocalization on PnP "
                         "failure (the reference's unimplemented "
                         "'trigger relocalization here' hook)")
+    g.add_argument("--map_evict_age", type=int, default=d.map_evict_age,
+                   help="Fused map eviction: when the store nears capacity, "
+                        "drop landmarks unseen for this many frames")
     g.add_argument("--fused_ba_points", type=int, default=d.fused_ba_points,
                    help="Static point-slice size of the fused-loop local BA "
                         "(0 = 4096); the BA assembly cost is linear in it")

@@ -82,6 +82,9 @@ class FusedState:
     obs_kf: jax.Array         # (C,O) i32 global KF number, -1 = empty
     obs_uv: jax.Array         # (C,O,2) f32
     obs_n: jax.Array          # (C,) i32
+    last_seen: jax.Array      # (C,) i32 frame last observed (creation or
+                              # PnP-inlier association) — eviction signal
+    compactions: jax.Array    # () i32 eviction passes run so far
     n_points: jax.Array       # () i32
     # frame counter + rng
     frame_no: jax.Array       # () i32 (next frame number to process)
@@ -128,6 +131,7 @@ class FusedConfig(NamedTuple):
     local_ba_min_new_points: int
     local_ba_max_iters: int
     ba_huber: float
+    evict_age: int        # landmarks unseen this many frames are evictable
 
 
 def make_fused_config(cfg, img_hw: Tuple[int, int], n_kp: int,
@@ -164,6 +168,7 @@ def make_fused_config(cfg, img_hw: Tuple[int, int], n_kp: int,
         local_ba_min_new_points=int(cfg.local_ba_min_new_points),
         local_ba_max_iters=int(cfg.local_ba_max_iters),
         ba_huber=float(cfg.ba_huber),
+        evict_age=int(getattr(cfg, "map_evict_age", 50)),
     )
 
 
@@ -247,6 +252,9 @@ def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
         n_desc=jnp.asarray(snap["n_desc"]),
         obs_kf=jnp.asarray(obs_kf), obs_uv=jnp.asarray(obs_uv),
         obs_n=jnp.asarray(obs_n),
+        last_seen=jnp.where(jnp.asarray(snap["alive"]),
+                            jnp.int32(system.frame_ids[-1]), -1),
+        compactions=jnp.int32(0),
         n_points=jnp.int32(len(wm)),
         frame_no=jnp.int32(system.frame_ids[-1] + 1),
         key=system._key,
@@ -267,7 +275,7 @@ def sync_to_host(system, state: FusedState, fc: FusedConfig) -> dict:
         "log_pose": state.log_pose, "log_flags": state.log_flags,
         "log_frame": state.log_frame, "log_n": state.log_n,
         "positions": state.positions, "alive": state.alive,
-        "n_points": state.n_points,
+        "n_points": state.n_points, "compactions": state.compactions,
         "kf_pose": state.kf_pose, "kf_frame_no": state.kf_frame_no,
         "kf_count": state.kf_count,
         "last_kf_frame_no": state.last_kf_frame_no,
@@ -288,11 +296,24 @@ def sync_to_host(system, state: FusedState, fc: FusedConfig) -> dict:
     # landmark positions / newly created points
     n_pts = int(host["n_points"])
     n_host = len(wm)
-    if n_pts > n_host:
-        new_pos = host["positions"][n_host:n_pts].astype(np.float64)
-        wm.add_points(new_pos, np.full((len(new_pos), 3), 0.7, np.float32))
-    rows = np.fromiter(wm._row.values(), np.int64, len(wm._row))
-    wm._positions[rows] = host["positions"][:len(rows)].astype(np.float64)
+    if int(host["compactions"]) > int(getattr(system,
+                                              "_fused_compactions", 0)):
+        # on-device eviction reordered the store: the device is now the
+        # authoritative landmark set — rebuild the host map's points
+        for pid in list(wm.points.keys()):
+            wm.points.pop(pid)
+        alive = host["alive"][:n_pts]
+        keep_pos = host["positions"][:n_pts][alive].astype(np.float64)
+        wm.add_points(keep_pos,
+                      np.full((len(keep_pos), 3), 0.7, np.float32))
+        system._fused_compactions = int(host["compactions"])
+    else:
+        if n_pts > n_host:
+            new_pos = host["positions"][n_host:n_pts].astype(np.float64)
+            wm.add_points(new_pos,
+                          np.full((len(new_pos), 3), 0.7, np.float32))
+        rows = np.fromiter(wm._row.values(), np.int64, len(wm._row))
+        wm._positions[rows] = host["positions"][:len(rows)].astype(np.float64)
     wm.version += 1
 
     # keyframe poses (ring slots still alive)
@@ -434,10 +455,10 @@ def build_fused_step(fc: FusedConfig,
             use_pnp, lambda _: (T_est, jnp.asarray(False)), fallback, None)
         return T_new, use_pnp, relocd, n_inl, n_cand, assoc, inl
 
-    def refresh_rings(state, assoc, inl, feats):
+    def refresh_rings(state, assoc, inl, feats, frame_no):
         """Scatter this frame's PnP-inlier descriptors into the landmark
         rings (keeps association quality as viewpoint drifts — mirrors
-        run_slam._refresh_rings)."""
+        run_slam._refresh_rings); stamps last_seen for eviction."""
         sel = assoc.valid & inl
         rows = jnp.arange(C, dtype=jnp.int32)
         kp_sel = assoc.kp_idx
@@ -448,7 +469,9 @@ def build_fused_step(fc: FusedConfig,
         new = jnp.where(sel[:, None], descs.astype(ring.dtype), cur)
         ring = ring.at[rows, slots].set(new)
         n_desc = state.n_desc + sel.astype(jnp.int32)
-        return state.replace(desc_ring=ring, n_desc=n_desc)
+        last_seen = jnp.where(sel, frame_no, state.last_seen)
+        return state.replace(desc_ring=ring, n_desc=n_desc,
+                             last_seen=last_seen)
 
     # ------------------------------------------------------------- keyframe
     def kf_signals(state, feats, matches):
@@ -488,7 +511,7 @@ def build_fused_step(fc: FusedConfig,
         d0 = state.kf_desc[src_slot][kf_matches.idx0]
         return X, keep, uv0, uv1, d0, kf_matches.idx1
 
-    def triangulate_new(state, feats, cands):
+    def triangulate_new(state, feats, cands, frame_no):
         """Gate, dedup, and append triangulation candidates to the map
         (core/triangulate.py semantics, compaction by rank-scatter instead
         of host loops). ``cands`` is a list of
@@ -535,6 +558,7 @@ def build_fused_step(fc: FusedConfig,
 
         positions = put(state.positions, X)
         alive = put(state.alive, keep)
+        last_seen = put(state.last_seen, jnp.full_like(dest, 1) * frame_no)
         # descriptor ring: slots 0/1 = the two observing descriptors
         ring = state.desc_ring
         pad_r = jnp.zeros((1,) + ring.shape[1:], ring.dtype)
@@ -569,7 +593,7 @@ def build_fused_step(fc: FusedConfig,
         return state.replace(
             positions=positions, alive=alive, desc_ring=ring, n_desc=n_desc,
             obs_kf=obs_kf, obs_uv=obs_uv, obs_n=obs_n,
-            kf_lm_row=kf_lm_row,
+            kf_lm_row=kf_lm_row, last_seen=last_seen,
             n_points=jnp.minimum(state.n_points + n_new, C)), n_new
 
     # ------------------------------------------------------------- local BA
@@ -646,6 +670,40 @@ def build_fused_step(fc: FusedConfig,
         return state.replace(positions=positions, kf_pose=kf_pose,
                              Tcw=kf_pose[cur_slot])
 
+    # ----------------------------------------------------------- eviction
+    def compact_map(state, frame_no):
+        """Stable compaction of the landmark store: drop dead rows and
+        landmarks unseen for > evict_age frames (left the FOV under
+        forward motion), shifting survivors down IN CREATION ORDER so the
+        local-BA window slice stays contiguous. The reference's Python map
+        grows without bound (landmark_utils.py Map.points dict); a
+        fixed-capacity device map needs this to survive long sequences."""
+        in_map = jnp.arange(C, dtype=jnp.int32) < state.n_points
+        keep = state.alive & in_map & \
+            ((frame_no - state.last_seen) <= fc.evict_age)
+        pref = jnp.cumsum(keep.astype(jnp.int32))
+        n_new_pts = pref[C - 1]
+        remap = jnp.where(keep, pref - 1, -1)               # old -> new
+        # stable order: kept rows first, original order preserved
+        old_of_new = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+
+        def g(arr):
+            return arr[old_of_new]
+
+        kf_lm_row = jnp.where(state.kf_lm_row >= 0,
+                              remap[jnp.maximum(state.kf_lm_row, 0)], -1)
+        first = state.kf_first_row
+        kf_first_row = jnp.where(
+            first > 0, pref[jnp.maximum(first - 1, 0)], 0)
+        return state.replace(
+            positions=g(state.positions), alive=g(keep),
+            desc_ring=g(state.desc_ring), n_desc=g(state.n_desc),
+            obs_kf=g(state.obs_kf), obs_uv=g(state.obs_uv),
+            obs_n=g(state.obs_n), last_seen=g(state.last_seen),
+            kf_lm_row=kf_lm_row, kf_first_row=kf_first_row,
+            compactions=state.compactions + 1,
+            n_points=n_new_pts)
+
     # ------------------------------------------------------------ the step
     def maybe_keyframe(state, feats, img, frame_no, key, assoc, inl):
         """Keyframe policy + triangulation + BA (select_keyframe +
@@ -709,13 +767,20 @@ def build_fused_step(fc: FusedConfig,
                 keep2 = keep2 & (state.kf_count >= 2)
                 cands.append((X2, keep2, uv02, uv12, d02, idx12,
                               kf_no_prev - 1))
-            state, n_new = triangulate_new(state, feats, cands)
+            state, n_new = triangulate_new(state, feats, cands, frame_no)
             state = state.replace(
                 kf_count=state.kf_count + 1,
                 last_kf_frame_no=frame_no)
             run_ba = (n_new >= fc.local_ba_min_new_points) & \
                 (state.kf_count >= 2)
             state = jax.lax.cond(run_ba, local_ba, lambda s: s, state)
+            # evict stale landmarks when the NEXT keyframe could overflow
+            # the store (end of do_kf: every row index captured earlier in
+            # this step still refers to the pre-compaction layout)
+            need = (state.n_points + fc.max_new) > C
+            state = jax.lax.cond(
+                need, lambda s: compact_map(s, frame_no), lambda s: s,
+                state)
             return state, n_new, run_ba
 
         def no_kf(state):
@@ -749,7 +814,7 @@ def build_fused_step(fc: FusedConfig,
 
         state = state.replace(Tcw_prev=state.Tcw, Tcw=T_new)
         state = jax.lax.cond(
-            pnp_ok, lambda s: refresh_rings(s, assoc, inl, feats),
+            pnp_ok, lambda s: refresh_rings(s, assoc, inl, feats, frame_no),
             lambda s: s, state)
 
         state, is_kf, n_new, ba_ran = maybe_keyframe(

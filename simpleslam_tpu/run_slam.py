@@ -87,6 +87,7 @@ class SLAMResult:
     fps: float = 0.0
     n_frames: int = 0
     tracking_lost_count: int = 0
+    map_compactions: int = 0    # fused-mode eviction passes (long sequences)
 
 
 class SLAMSystem:
@@ -663,7 +664,8 @@ def run(cfg: SLAMConfig) -> SLAMResult:
         n_landmarks=len(system.world_map),
         fps=(n / dt) if dt > 0 else 0.0,
         n_frames=n,
-        tracking_lost_count=system.tracking_lost_count)
+        tracking_lost_count=system.tracking_lost_count,
+        map_compactions=int(getattr(system, "_fused_compactions", 0)))
 
     out_png = f"trajectory_{cfg.dataset}.png"
     try:

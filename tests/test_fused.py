@@ -48,6 +48,29 @@ def test_fused_matches_host(corridor, tmp_path, monkeypatch):
     assert len(res_fused.poses_cw) == res_fused.n_frames
 
 
+def test_eviction_sustains_long_run(tmp_path_factory, tmp_path, monkeypatch):
+    """Fixed-capacity device map + on-device eviction: a sequence whose
+    cumulative triangulation volume exceeds map_capacity must keep tracking
+    (stale landmarks compacted away, survivors shifted in creation order)."""
+    base = str(tmp_path_factory.mktemp("evict_seq"))
+    generate_kitti_sequence(base, n_frames=30, seed=5, hw=(180, 410),
+                            speed=0.6, yaw_rate_deg=0.4)
+    monkeypatch.chdir(tmp_path)
+    cfg = parse_config(["--dataset", "kitti", "--base_dir", base,
+                        "--headless", "--no_viz3d", "--max_features", "512",
+                        "--map_capacity", "1024", "--map_evict_age", "8",
+                        "--fused"])
+    res = run(cfg)
+    assert res.map_compactions > 0          # eviction actually fired
+    assert res.n_landmarks <= 1024
+    # survival assertions: a 1024-point store for a sequence that would
+    # naturally triangulate ~3x that is a STRESS config — tracking must
+    # persist with bounded drift, not match the full-capacity ATE
+    assert res.ate is not None and res.ate < 3.0
+    assert res.tracking_lost_count <= res.n_frames // 3
+    assert len(res.poses_cw) == res.n_frames
+
+
 def test_tri_kf2_grows_map(corridor, tmp_path, monkeypatch):
     """--tri_kf2 triangulates each new KF against the last TWO keyframes:
     the doubled baseline must add landmarks the single-pair pass rejects on
