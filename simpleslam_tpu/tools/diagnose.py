@@ -38,7 +38,11 @@ def _enable_cache():
         pass
 
 
-def _full_scale_frames(H=376, W=1232, n=40):
+def _full_scale_frames(H=376, W=1232, n=40, yaw=0.3):
+    # NOTE on yaw: the trajectory curves at speed/yaw_rate radius (~95 m at
+    # 0.3 deg/frame) INSIDE a corridor with walls at +-10 m — beyond ~85
+    # frames the camera exits the scene and geometry degenerates. Long-run
+    # probes must use a gentler yaw.
     from simpleslam_tpu.tools.synth import (CorridorScene, DEFAULT_K,
                                             make_trajectory)
 
@@ -47,16 +51,17 @@ def _full_scale_frames(H=376, W=1232, n=40):
     K[0] *= s
     K[1] *= s
     K[1, 2] = 0.487 * H
-    cache = f"/tmp/synth_frames_{H}x{W}_{n}.npz"
+    cache = f"/tmp/synth_frames_{H}x{W}_{n}_y{yaw}.npz" if yaw != 0.3 \
+        else f"/tmp/synth_frames_{H}x{W}_{n}.npz"
     if os.path.exists(cache):
         frames = np.load(cache)["frames"]
     else:
         print(f"rendering {n} frames at {H}x{W}...", flush=True)
         scene = CorridorScene(seed=0, hw=(H, W), K=K)
-        T = make_trajectory(n, speed=0.5, yaw_rate_deg=0.3)
+        T = make_trajectory(n, speed=0.5, yaw_rate_deg=yaw)
         frames = np.stack([scene.render(T[i]) for i in range(n)])
         np.savez_compressed(cache, frames=frames)
-    return frames, K, make_trajectory(n, speed=0.5, yaw_rate_deg=0.3)
+    return frames, K, make_trajectory(n, speed=0.5, yaw_rate_deg=yaw)
 
 
 def cmd_desc(a) -> int:
@@ -179,10 +184,10 @@ def cmd_e2e(a) -> int:
                                            make_fused_config, state_from_host)
     from simpleslam_tpu.run_slam import SLAMSystem
 
-    frames, K, _ = _full_scale_frames()
+    frames, K, _ = _full_scale_frames(n=a.frames, yaw=a.yaw)
     n_frames = len(frames)
     argv = ["--dataset", "kitti", "--headless", "--no_viz3d",
-            "--max_features", "2048", "--map_capacity", "8192"]
+            "--max_features", "2048", "--map_capacity", str(a.capacity)]
     if a.learned:
         argv += ["--use_lightglue", "--min_conf", str(a.min_conf)]
     if a.tri_kf2:
@@ -225,7 +230,7 @@ def cmd_e2e(a) -> int:
     from simpleslam_tpu.tools.synth import make_trajectory
     from simpleslam_tpu.tools.trajectory_eval import ate_rmse
 
-    T_wc = make_trajectory(n_frames, speed=0.5, yaw_rate_deg=0.3)
+    T_wc = make_trajectory(n_frames, speed=0.5, yaw_rate_deg=a.yaw)
     est = {fi: np.asarray(p) for fi, p in
            zip(system.frame_ids, system.world_map.poses)}
     log_pose = np.asarray(state.log_pose)
@@ -234,12 +239,15 @@ def cmd_e2e(a) -> int:
             est[int(frames_log[i])] = log_pose[i]
     fids = sorted(est.keys())
     est_T = np.stack([est[f] for f in fids])
+    np.savez("/tmp/diag_e2e_traj.npz", est_T=est_T, fids=np.asarray(fids),
+             gt_T=T_wc[fids])
     ate, stats = ate_rmse(est_T, T_wc[fids][:, :3, :4], align="sim3")
     lost = n - int(flags[:n, 0].sum())
     print(f"ATE-RMSE (Sim3): {ate:.4f} m over {len(fids)} frames "
           f"(scale {stats.get('scale', 0.0):.3f}), {lost} lost, "
           f"map {int(np.asarray(state.n_points))} pts, "
-          f"{int(np.asarray(state.kf_count))} KFs")
+          f"{int(np.asarray(state.kf_count))} KFs, "
+          f"{int(np.asarray(state.compactions))} compactions")
     return 0
 
 
@@ -305,6 +313,9 @@ def main(argv=None) -> int:
         sp.add_argument("--min_conf", type=float, default=0.7)
         if name == "e2e":
             sp.add_argument("--tri_kf2", action="store_true")
+            sp.add_argument("--frames", type=int, default=40)
+            sp.add_argument("--yaw", type=float, default=0.3)
+            sp.add_argument("--capacity", type=int, default=8192)
             sp.add_argument("--extra", default="",
                             help="extra run_slam CLI flags, space-separated")
     sub.add_parser("ba")
