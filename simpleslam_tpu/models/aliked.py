@@ -238,36 +238,13 @@ def preprocess_image(img) -> jax.Array:
 
 
 # --------------------------------------------------------------------------- #
-# Torch checkpoint import (best effort; no weights ship with this machine)
+# Torch checkpoint import (strict, name-based — see models/torch_import.py)
 # --------------------------------------------------------------------------- #
 
-def load_torch_aliked(path: str, params) -> Dict:
-    """Map a torch ALIKED ``state_dict`` into this param tree where tensor
-    shapes line up (transposing conv kernels OIHW -> HWIO). Layers without a
-    shape match keep their initialized values; returns the updated tree."""
-    import numpy as np
-    import torch
+def load_torch_aliked(path: str, params, *, strict: bool = True) -> Dict:
+    """Load a torch export of this architecture by NAME (conv kernels
+    transposed OIHW -> HWIO). Unknown keys / shape mismatches raise; target
+    leaves absent from the checkpoint keep their initialized values."""
+    from simpleslam_tpu.models.torch_import import load_torch_file
 
-    sd = torch.load(path, map_location="cpu")
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
-    tensors = {k: np.asarray(v) for k, v in sd.items()
-               if hasattr(v, "numpy") or isinstance(v, np.ndarray)}
-
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    by_shape: Dict[tuple, list] = {}
-    for name, t in tensors.items():
-        if t.ndim == 4:
-            t = t.transpose(2, 3, 1, 0)     # OIHW -> HWIO
-        by_shape.setdefault(t.shape, []).append((name, t))
-
-    new_leaves = []
-    for path_keys, leaf in flat:
-        cand = by_shape.get(tuple(leaf.shape))
-        if cand:
-            _name, t = cand.pop(0)
-            new_leaves.append(jnp.asarray(t, leaf.dtype))
-        else:
-            new_leaves.append(leaf)
-    treedef = jax.tree_util.tree_structure(params)
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return load_torch_file(path, params, strict=strict)

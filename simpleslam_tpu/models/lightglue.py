@@ -190,37 +190,14 @@ def matches_from_assignment(P: jax.Array, min_conf: float) -> Matches:
                    score=jnp.where(ok, conf, 0.0)[order], valid=ok[order])
 
 
-def load_torch_lightglue(path: str, params):
-    """Map a torch LightGlue ``state_dict`` into this param tree where
-    tensor shapes line up (linear kernels transposed (out,in) -> (in,out)).
-    Mirrors aliked.load_torch_aliked; layers without a shape match keep
-    their initialized values."""
-    import numpy as np
-    import torch
+def load_torch_lightglue(path: str, params, *, strict: bool = True):
+    """Load a torch export of this architecture by NAME (linear kernels
+    transposed (out, in) -> (in, out)). Unknown keys / shape mismatches
+    raise; target leaves absent from the checkpoint keep their initialized
+    values. See models/torch_import.py for the interchange format."""
+    from simpleslam_tpu.models.torch_import import load_torch_file
 
-    sd = torch.load(path, map_location="cpu")
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
-    tensors = {k: np.asarray(v) for k, v in sd.items()
-               if hasattr(v, "numpy") or isinstance(v, np.ndarray)}
-
-    by_shape = {}
-    for name, t in tensors.items():
-        if t.ndim == 2:
-            t = t.T                      # torch Linear (out,in) -> (in,out)
-        by_shape.setdefault(t.shape, []).append((name, t))
-
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    new_leaves = []
-    for _path, leaf in flat:
-        cand = by_shape.get(tuple(leaf.shape))
-        if cand:
-            _name, t = cand.pop(0)
-            new_leaves.append(jnp.asarray(t, leaf.dtype))
-        else:
-            new_leaves.append(leaf)
-    treedef = jax.tree_util.tree_structure(params)
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return load_torch_file(path, params, strict=strict)
 
 
 @partial(jax.jit, static_argnames=("model", "image_hw", "min_conf"))

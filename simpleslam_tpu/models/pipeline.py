@@ -28,8 +28,26 @@ _CKPT_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _CKPT_CACHE = [False, None]
 
 
-def _load_repo_checkpoint():
-    """Load (and memoize) the trained front-end checkpoint if present."""
+def _abstract_checkpoint_target():
+    """ShapeDtypeStruct tree of the PINNED pipeline topology (must match
+    models/train_frontend.py: desc_dim 128, dim 256, heads 4, 9 layers).
+    Restoring against this target makes a stale/incompatible checkpoint fail
+    loudly at load time instead of silently via orbax's untyped restore."""
+    from simpleslam_tpu.models import train as train_mod
+
+    def mk():
+        _a, _l, params = train_mod.make_models(
+            jax.random.PRNGKey(0), desc_dim=DESC_DIM, n_kp=64, dim=256,
+            n_layers=9, image_hw=(64, 64))
+        return params
+
+    return jax.eval_shape(mk)
+
+
+def _load_repo_checkpoint(on_error: str = "warn"):
+    """Load (and memoize) the trained front-end checkpoint if present,
+    restored against the pinned-topology abstract target (no orbax UNSAFE
+    untyped restore). ``on_error='raise'`` surfaces incompatibilities."""
     if _CKPT_CACHE[0]:
         return _CKPT_CACHE[1]
     _CKPT_CACHE[0] = True
@@ -39,9 +57,16 @@ def _load_repo_checkpoint():
             import orbax.checkpoint as ocp
 
             _CKPT_CACHE[1] = ocp.StandardCheckpointer().restore(
-                os.path.abspath(ckpt_dir))
-        except Exception:
+                os.path.abspath(ckpt_dir), _abstract_checkpoint_target())
+        except Exception as e:
+            _CKPT_CACHE[0] = False
             _CKPT_CACHE[1] = None
+            if on_error == "raise":
+                raise
+            import warnings
+
+            warnings.warn(f"learned-frontend checkpoint at {ckpt_dir} "
+                          f"failed to restore ({e}); using random weights")
     return _CKPT_CACHE[1]
 
 
