@@ -31,7 +31,15 @@ optimizable KF and its fixed anchors), (b) new landmarks per keyframe are
 capped at a static ``max_new`` (the padded match capacity bounds this
 anyway), (c) local BA optimizes the contiguous row-slice of points created
 inside the window (exactly the points with an observation in an optimizable
-KF — creation is the only place observations are recorded).
+KF — creation is the only place observations are recorded), (d) the local
+BA window fixes only cameras OLDER than the window (reference semantics,
+ba_utils.py:250-257), which leaves the monocular scale as a gauge freedom —
+host and fused runs land on slightly different points of that gauge orbit
+at each keyframe even with identical RNG (tests/test_fused.py bounds the
+effect; pre-keyframe tracking agrees to float noise).
+
+RNG: every random draw uses frame_key(base, frame_no, SITE) — identical to
+the host driver's derivation — so RANSAC outcomes match between modes.
 """
 from __future__ import annotations
 
@@ -51,6 +59,19 @@ from simpleslam_tpu.ops.triangulation import (projection_matrix,
                                               two_view_gates)
 
 _INF = jnp.float32(1e9)
+
+# RNG sites shared by the host driver (run_slam.SLAMSystem) and the fused
+# loop: both derive the key for a given (frame, decision site) as
+# fold_in(fold_in(base_seed, frame_no), site), so the two modes consume
+# IDENTICAL randomness at equivalent RANSAC/matching sites regardless of
+# which branches run — the precondition for sharp fused-vs-host parity
+# (tests/test_fused.py) and for reproducible runs in general.
+SITE_PNP, SITE_PREV_MATCH, SITE_ESS, SITE_RELOC = 0, 1, 2, 3
+SITE_KF_MATCH, SITE_KF_MATCH2 = 4, 5
+
+
+def frame_key(base: jax.Array, frame_no, site: int) -> jax.Array:
+    return jax.random.fold_in(jax.random.fold_in(base, frame_no), site)
 
 
 @struct.dataclass
@@ -80,8 +101,12 @@ class FusedState:
     desc_ring: jax.Array      # (C,R,D)
     n_desc: jax.Array         # (C,) i32
     obs_kf: jax.Array         # (C,O) i32 global KF number, -1 = empty
+    obs_kp: jax.Array         # (C,O) i32 keypoint index inside that KF
     obs_uv: jax.Array         # (C,O,2) f32
     obs_n: jax.Array          # (C,) i32
+    pid: jax.Array            # (C,) i32 stable landmark id (host map id) —
+                              # survives compaction; sync reconciles by it
+    n_created: jax.Array      # () i32 next pid to assign
     last_seen: jax.Array      # (C,) i32 frame last observed (creation or
                               # PnP-inlier association) — eviction signal
     compactions: jax.Array    # () i32 eviction passes run so far
@@ -191,6 +216,7 @@ def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
 
     # observation table from the host map (pid order == row order)
     obs_kf = np.full((C, O), -1, np.int32)
+    obs_kp = np.full((C, O), -1, np.int32)
     obs_uv = np.zeros((C, O, 2), np.float32)
     obs_n = np.zeros((C,), np.int32)
     created = np.full((C,), -1, np.int32)
@@ -199,8 +225,12 @@ def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
         for o, (kf_idx, kp_idx, _d) in enumerate(obs[:O]):
             if kf_idx >= len(kfs):
                 continue
+            kps = np.asarray(kfs[kf_idx].feats.kpts)
+            if kp_idx >= len(kps):
+                continue          # placeholder KF (aged out of the ring)
             obs_kf[row, o] = kf_idx
-            obs_uv[row, o] = np.asarray(kfs[kf_idx].feats.kpts)[kp_idx]
+            obs_kp[row, o] = kp_idx
+            obs_uv[row, o] = kps[kp_idx]
         obs_n[row] = min(len(obs), O)
         created[row] = wm.points[pid].keyframe_idx
 
@@ -250,14 +280,16 @@ def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
         alive=jnp.asarray(snap["alive"]),
         desc_ring=jnp.asarray(snap["desc"]),
         n_desc=jnp.asarray(snap["n_desc"]),
-        obs_kf=jnp.asarray(obs_kf), obs_uv=jnp.asarray(obs_uv),
-        obs_n=jnp.asarray(obs_n),
+        obs_kf=jnp.asarray(obs_kf), obs_kp=jnp.asarray(obs_kp),
+        obs_uv=jnp.asarray(obs_uv), obs_n=jnp.asarray(obs_n),
+        pid=jnp.asarray(snap["pid"]),
+        n_created=jnp.int32(wm._next_pid),
         last_seen=jnp.where(jnp.asarray(snap["alive"]),
                             jnp.int32(system.frame_ids[-1]), -1),
         compactions=jnp.int32(0),
         n_points=jnp.int32(len(wm)),
         frame_no=jnp.int32(system.frame_ids[-1] + 1),
-        key=system._key,
+        key=system._base_key,     # site-keyed RNG: fold_in(base, frame, site)
         log_pose=jnp.zeros((fc.log_capacity, 4, 4), jnp.float32),
         log_flags=jnp.zeros((fc.log_capacity, 6), jnp.float32),
         log_frame=jnp.full((fc.log_capacity,), -1, jnp.int32),
@@ -268,15 +300,24 @@ def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
 def sync_to_host(system, state: FusedState, fc: FusedConfig) -> dict:
     """One big device->host readback: trajectory log + map + KF poses.
 
-    Updates the host system's world_map (poses, landmark positions) so viz /
-    ATE / serialization keep working, then returns the raw log dict.
+    Landmarks reconcile BY STABLE ID (``state.pid``): survivors update in
+    place keeping their colours/observations, device-evicted points are
+    popped, and newly created points arrive with their creation observation
+    pairs (KF number, keypoint index, descriptor from ring slots 0/1) — so
+    host-side ``--save_state``/resume, ``--viz_ba`` and the MapPoint view
+    stay faithful across any number of on-device compactions (round-2
+    verdict item 6; the old path rebuilt positions-only after eviction).
     """
     host = jax.device_get({
         "log_pose": state.log_pose, "log_flags": state.log_flags,
         "log_frame": state.log_frame, "log_n": state.log_n,
         "positions": state.positions, "alive": state.alive,
         "n_points": state.n_points, "compactions": state.compactions,
+        "pid": state.pid, "obs_kf": state.obs_kf, "obs_kp": state.obs_kp,
+        "desc01": state.desc_ring[:, :2],
         "kf_pose": state.kf_pose, "kf_frame_no": state.kf_frame_no,
+        "kf_kpts": state.kf_kpts, "kf_desc": state.kf_desc,
+        "kf_valid": state.kf_valid,
         "kf_count": state.kf_count,
         "last_kf_frame_no": state.last_kf_frame_no,
     })
@@ -293,35 +334,86 @@ def sync_to_host(system, state: FusedState, fc: FusedConfig) -> dict:
         if not bool(host["log_flags"][i, 0]):
             system.tracking_lost_count += 1
 
-    # landmark positions / newly created points
+    # landmark reconciliation by stable id (device row order == insertion
+    # order: compaction is stable and the host pop preserves relative order)
     n_pts = int(host["n_points"])
-    n_host = len(wm)
-    if int(host["compactions"]) > int(getattr(system,
-                                              "_fused_compactions", 0)):
-        # on-device eviction reordered the store: the device is now the
-        # authoritative landmark set — rebuild the host map's points
-        for pid in list(wm.points.keys()):
-            wm.points.pop(pid)
-        alive = host["alive"][:n_pts]
-        keep_pos = host["positions"][:n_pts][alive].astype(np.float64)
-        wm.add_points(keep_pos,
-                      np.full((len(keep_pos), 3), 0.7, np.float32))
-        system._fused_compactions = int(host["compactions"])
-    else:
-        if n_pts > n_host:
-            new_pos = host["positions"][n_host:n_pts].astype(np.float64)
-            wm.add_points(new_pos,
-                          np.full((len(new_pos), 3), 0.7, np.float32))
-        rows = np.fromiter(wm._row.values(), np.int64, len(wm._row))
-        wm._positions[rows] = host["positions"][:len(rows)].astype(np.float64)
+    pid = host["pid"][:n_pts]
+    alive = host["alive"][:n_pts]
+    dev_pids = {int(p) for p, a in zip(pid, alive) if a}
+    for hp in list(wm.points.keys()):
+        if hp not in dev_pids:
+            wm.points.pop(hp)
+    grey = np.full((3,), 0.7, np.float32)
+    for r in range(n_pts):
+        if not alive[r]:
+            continue
+        p = int(pid[r])
+        created = int(host["obs_kf"][r, 1])
+        if created < 0:
+            created = int(host["obs_kf"][r, 0])
+        if wm.upsert_point(p, host["positions"][r].astype(np.float64),
+                           colour=grey, keyframe_idx=created):
+            mp = wm.points[p]
+            for o in range(min(fc.obs_slots, host["obs_kf"].shape[1])):
+                kf = int(host["obs_kf"][r, o])
+                if kf < 0:
+                    continue
+                mp.add_observation(kf, int(host["obs_kp"][r, o]),
+                                   host["desc01"][r, min(o, 1)])
+    system._fused_compactions = int(host["compactions"])
     wm.version += 1
 
-    # keyframe poses (ring slots still alive)
+    # materialize device-created keyframes as host Keyframe objects so
+    # --save_state / resume / viz carry the full KF record, not just the
+    # bootstrap pair. KFs still in the device ring get their real padded
+    # features; KFs that aged out of the ring before this sync become
+    # placeholder entries (empty features, logged pose) — their landmarks'
+    # BA edges were already outside the window.
+    from simpleslam_tpu.core.keyframe import Keyframe
+    from simpleslam_tpu.core.types import Features
+
     kfc = int(host["kf_count"])
+    Kw = fc.kf_ring
+    kf_rows = [i for i in range(n_log)
+               if host["log_flags"][i, 1] > 0.5 and host["log_frame"][i] >= 0]
+    kfc_start = kfc - len(kf_rows)
+    N = host["kf_kpts"].shape[1]
+    for j, i in enumerate(kf_rows):
+        kf_no = kfc_start + j
+        if kf_no < len(system.kfs):
+            continue
+        slot = kf_no % Kw
+        frame_no = int(host["log_frame"][i])
+        in_ring = (kf_no >= kfc - Kw
+                   and int(host["kf_frame_no"][slot]) == frame_no)
+        if in_ring:
+            feats = Features(kpts=host["kf_kpts"][slot].copy(),
+                             desc=host["kf_desc"][slot].copy(),
+                             scores=np.zeros((N,), np.float32),
+                             valid=host["kf_valid"][slot].copy())
+            pose = host["kf_pose"][slot]
+        else:
+            feats = Features(kpts=np.zeros((N, 2), np.float32),
+                             desc=np.zeros_like(host["kf_desc"][0]),
+                             scores=np.zeros((N,), np.float32),
+                             valid=np.zeros((N,), bool))
+            pose = host["log_pose"][i]
+        system.kfs.append(Keyframe(idx=kf_no, frame_idx=frame_no, path="",
+                                   feats=feats,
+                                   pose=np.asarray(pose, np.float64),
+                                   thumb=b""))
+
+    # keyframe poses (ring slots still alive) — back-written into the
+    # trajectory too, mirroring the host BA write-back (core/ba.py:140-146)
+    kf_indices = wm.keyframe_indices
     for kf in system.kfs:
         if kf.idx >= kfc - fc.kf_ring:
             kf.pose = np.asarray(host["kf_pose"][kf.idx % fc.kf_ring],
                                  np.float64)
+            if kf.idx < len(kf_indices):
+                pi = kf_indices[kf.idx]
+                if 0 <= pi < len(wm.poses):
+                    wm.poses[pi][:] = kf.pose
     system.last_kf_frame_no = int(host["last_kf_frame_no"])
     return host
 
@@ -370,7 +462,7 @@ def build_fused_step(fc: FusedConfig,
         return Matches(idx0=m.idx0, idx1=m.idx1, score=m.score, valid=valid)
 
     # ---------------------------------------------------------------- track
-    def track(state, feats, key):
+    def track(state, feats, frame_no):
         """PnP with essential fallback; returns (Tcw_new, tracked, n_inl,
         n_cand, assoc, inl_mask).
 
@@ -389,7 +481,10 @@ def build_fused_step(fc: FusedConfig,
             max_hamm=fc.max_hamm, max_l2=fc.max_l2)
         n_cand = jnp.sum(assoc.valid.astype(jnp.int32))
 
-        k_pnp, k_match, k_ess, k_reloc = jax.random.split(key, 4)
+        k_pnp = frame_key(state.key, frame_no, SITE_PNP)
+        k_match = frame_key(state.key, frame_no, SITE_PREV_MATCH)
+        k_ess = frame_key(state.key, frame_no, SITE_ESS)
+        k_reloc = frame_key(state.key, frame_no, SITE_RELOC)
         # compact the associated candidates from map-capacity rows (C) to a
         # dense slot buffer before RANSAC: the hypothesis scoring is linear
         # in the input rows and candidates are a small fraction of capacity
@@ -494,7 +589,7 @@ def build_fused_step(fc: FusedConfig,
 
     def tri_candidates(state, feats, kf_matches, src_slot):
         """Gated triangulation candidates for one (source KF <-> current
-        frame) match set. Returns (X, keep, uv0, uv1, d0, idx1)."""
+        frame) match set. Returns (X, keep, uv0, uv1, d0, idx0, idx1)."""
         T0 = state.kf_pose[src_slot]
         T1 = state.Tcw
         P0 = projection_matrix(Kj, T0)
@@ -509,21 +604,21 @@ def build_fused_step(fc: FusedConfig,
             max_reproj_px=fc.tri_rep_err)
         keep = keep & kf_matches.valid & jnp.all(jnp.isfinite(X), axis=1)
         d0 = state.kf_desc[src_slot][kf_matches.idx0]
-        return X, keep, uv0, uv1, d0, kf_matches.idx1
+        return X, keep, uv0, uv1, d0, kf_matches.idx0, kf_matches.idx1
 
     def triangulate_new(state, feats, cands, frame_no):
         """Gate, dedup, and append triangulation candidates to the map
         (core/triangulate.py semantics, compaction by rank-scatter instead
         of host loops). ``cands`` is a list of
-        (X, keep, uv0, uv1, d0, idx1, src_kf_no) tuples — one per source
-        keyframe matched against the CURRENT frame (the new KF, whose ring
-        slot the caller wrote before this runs). A current-frame keypoint
-        already consumed by an earlier candidate set is dropped from later
-        ones (one landmark per keypoint, like the host map's observation
-        uniqueness)."""
+        (X, keep, uv0, uv1, d0, idx0, idx1, src_kf_no) tuples — one per
+        source keyframe matched against the CURRENT frame (the new KF, whose
+        ring slot the caller wrote before this runs). A current-frame
+        keypoint already consumed by an earlier candidate set is dropped
+        from later ones (one landmark per keypoint, like the host map's
+        observation uniqueness)."""
         used = jnp.zeros((N,), bool)
         Xs, keeps, uv0s, uv1s, d0s, srcs = [], [], [], [], [], []
-        for X, keep, uv0, uv1, d0, idx1, src_kf_no in cands:
+        for X, keep, uv0, uv1, d0, idx0, idx1, src_kf_no in cands:
             keep = keep & ~used[idx1]
             used = used.at[idx1].max(keep)
             Xs.append(X)
@@ -538,7 +633,8 @@ def build_fused_step(fc: FusedConfig,
         uv1 = jnp.concatenate(uv1s, axis=0)
         d0 = jnp.concatenate(d0s, axis=0)
         src_kf = jnp.concatenate(srcs, axis=0)
-        idx1_all = jnp.concatenate([c[5] for c in cands], axis=0)
+        idx0_all = jnp.concatenate([c[5] for c in cands], axis=0)
+        idx1_all = jnp.concatenate([c[6] for c in cands], axis=0)
         d1 = feats.desc[idx1_all]
 
         # rank-compaction: destination row for each kept match
@@ -574,6 +670,11 @@ def build_fused_step(fc: FusedConfig,
         obs_kf2 = obs_kf2.at[dest, 0].set(src_kf)
         obs_kf2 = obs_kf2.at[dest, 1].set(kf_no_cur)
         obs_kf = obs_kf2[:C]
+        obs_kp2 = jnp.concatenate([state.obs_kp, pad_o], axis=0)
+        obs_kp2 = obs_kp2.at[dest, 0].set(idx0_all.astype(jnp.int32))
+        obs_kp2 = obs_kp2.at[dest, 1].set(idx1_all.astype(jnp.int32))
+        obs_kp = obs_kp2[:C]
+        pid = put(state.pid, state.n_created + rank)
         obs_uv = state.obs_uv
         pad_u = jnp.zeros((1, O, 2), obs_uv.dtype)
         obs_uv2 = jnp.concatenate([obs_uv, pad_u], axis=0)
@@ -592,7 +693,8 @@ def build_fused_step(fc: FusedConfig,
 
         return state.replace(
             positions=positions, alive=alive, desc_ring=ring, n_desc=n_desc,
-            obs_kf=obs_kf, obs_uv=obs_uv, obs_n=obs_n,
+            obs_kf=obs_kf, obs_kp=obs_kp, obs_uv=obs_uv, obs_n=obs_n,
+            pid=pid, n_created=state.n_created + n_new,
             kf_lm_row=kf_lm_row, last_seen=last_seen,
             n_points=jnp.minimum(state.n_points + n_new, C)), n_new
 
@@ -698,14 +800,15 @@ def build_fused_step(fc: FusedConfig,
         return state.replace(
             positions=g(state.positions), alive=g(keep),
             desc_ring=g(state.desc_ring), n_desc=g(state.n_desc),
-            obs_kf=g(state.obs_kf), obs_uv=g(state.obs_uv),
+            obs_kf=g(state.obs_kf), obs_kp=g(state.obs_kp),
+            obs_uv=g(state.obs_uv), pid=g(state.pid),
             obs_n=g(state.obs_n), last_seen=g(state.last_seen),
             kf_lm_row=kf_lm_row, kf_first_row=kf_first_row,
             compactions=state.compactions + 1,
             n_points=n_new_pts)
 
     # ------------------------------------------------------------ the step
-    def maybe_keyframe(state, feats, img, frame_no, key, assoc, inl):
+    def maybe_keyframe(state, feats, img, frame_no, assoc, inl):
         """Keyframe policy + triangulation + BA (select_keyframe +
         triangulate + local BA of the host driver, on device)."""
         prev_slot = (state.kf_count - 1) % Kw
@@ -713,10 +816,11 @@ def build_fused_step(fc: FusedConfig,
         rot = se3.rotation_angle_deg(
             state.Tcw[:3, :3] @ state.kf_pose[prev_slot][:3, :3].T)
         consider = (age > fc.kf_cooldown) | (rot >= fc.kf_min_rot_deg)
-        key, k_m2 = jax.random.split(key)
+        k_kfm = frame_key(state.key, frame_no, SITE_KF_MATCH)
+        k_m2 = frame_key(state.key, frame_no, SITE_KF_MATCH2)
 
         def evaluate(_):
-            kf_m = match_ransac(key, kf_features(state, prev_slot), feats)
+            kf_m = match_ransac(k_kfm, kf_features(state, prev_slot), feats)
             n_inl, ratio, med = kf_signals(state, feats, kf_m)
             weak = (n_inl < fc.kf_min_inliers) | (ratio < fc.kf_min_ratio)
             is_kf = (age > fc.kf_cooldown) | weak | \
@@ -762,10 +866,10 @@ def build_fused_step(fc: FusedConfig,
                 prev2_slot = (state.kf_count - 2) % Kw
                 kf_m2 = match_ransac(k_m2, kf_features(state, prev2_slot),
                                      feats)
-                X2, keep2, uv02, uv12, d02, idx12 = tri_candidates(
+                X2, keep2, uv02, uv12, d02, idx02, idx12 = tri_candidates(
                     state, feats, kf_m2, prev2_slot)
                 keep2 = keep2 & (state.kf_count >= 2)
-                cands.append((X2, keep2, uv02, uv12, d02, idx12,
+                cands.append((X2, keep2, uv02, uv12, d02, idx02, idx12,
                               kf_no_prev - 1))
             state, n_new = triangulate_new(state, feats, cands, frame_no)
             state = state.replace(
@@ -804,12 +908,11 @@ def build_fused_step(fc: FusedConfig,
             img = remap_bilinear(img, undistort_maps[0], undistort_maps[1])
 
         frame_no = state.frame_no
-        key, k_track, k_kf = jax.random.split(state.key, 3)
 
         feats = extract_fn(img)
 
         T_new, pnp_ok, relocd, n_inl, n_cand, assoc, inl = track(
-            state, feats, k_track)
+            state, feats, frame_no)
         tracked = pnp_ok | relocd
 
         state = state.replace(Tcw_prev=state.Tcw, Tcw=T_new)
@@ -818,7 +921,7 @@ def build_fused_step(fc: FusedConfig,
             lambda s: s, state)
 
         state, is_kf, n_new, ba_ran = maybe_keyframe(
-            state, feats, img, frame_no, k_kf, assoc, inl)
+            state, feats, img, frame_no, assoc, inl)
 
         # log
         i = state.log_n % fc.log_capacity
@@ -834,8 +937,7 @@ def build_fused_step(fc: FusedConfig,
             prev_kpts=feats.kpts,
             prev_desc=feats.desc.astype(state.prev_desc.dtype),
             prev_valid=feats.valid,
-            frame_no=frame_no + 1,
-            key=key)
+            frame_no=frame_no + 1)
         return state
 
     return step

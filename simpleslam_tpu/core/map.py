@@ -245,6 +245,29 @@ class Map:
         self._next_pid += n
         return new_ids
 
+    def upsert_point(self, pid: int, position, colour=None,
+                     keyframe_idx: int = -1) -> bool:
+        """Insert-or-update a landmark under an EXTERNALLY assigned id (the
+        fused device loop owns id assignment; sync_to_host reconciles by id).
+        Existing points get their position updated (colour/created-KF/
+        observations untouched); new points are appended in call order.
+        Returns True when the point was newly inserted."""
+        self.version += 1
+        if pid in self._row:
+            self._positions[self._row[pid]] = np.asarray(position, np.float64)
+            return False
+        self._grow(1)
+        row = self._n_rows
+        self._positions[row] = np.asarray(position, np.float64)
+        if colour is not None:
+            self._colours[row] = np.asarray(colour, np.float32)
+        self._created_kf[row] = keyframe_idx
+        self._row[pid] = row
+        self._obs[pid] = []
+        self._n_rows += 1
+        self._next_pid = max(self._next_pid, pid + 1)
+        return True
+
     # ---------------- Accessors (parity) ------------------------------------
     def get_point_array(self) -> np.ndarray:
         if not self._row:

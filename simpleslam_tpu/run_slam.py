@@ -88,6 +88,7 @@ class SLAMResult:
     n_frames: int = 0
     tracking_lost_count: int = 0
     map_compactions: int = 0    # fused-mode eviction passes (long sequences)
+    kf_frames: List[int] = field(default_factory=list)  # KF source frame ids
 
 
 class SLAMSystem:
@@ -113,6 +114,7 @@ class SLAMSystem:
         self._trackbook = None
         self._snap_cache = None
         self._key = jax.random.PRNGKey(cfg.seed)
+        self._base_key = jax.random.PRNGKey(cfg.seed)
         self._undistort_maps = None
         self._new_K = self.K
         self.img_hw = img_hw
@@ -137,6 +139,14 @@ class SLAMSystem:
         self._key, k = jax.random.split(self._key)
         return k
 
+    def _site_key(self, frame_idx: int, site: int):
+        """Per-(frame, site) key — the SAME derivation the fused loop uses
+        (core/fused.frame_key), so both drivers consume identical randomness
+        at equivalent RANSAC/matching sites."""
+        from simpleslam_tpu.core.fused import frame_key
+
+        return frame_key(self._base_key, frame_idx, site)
+
     def preprocess(self, img: np.ndarray) -> np.ndarray:
         if self._undistort_maps is not None:
             mapx, mapy = self._undistort_maps
@@ -147,9 +157,10 @@ class SLAMSystem:
     def extract(self, img: np.ndarray) -> Features:
         return frontend.feature_extractor(self.cfg, img, self.detector)
 
-    def match(self, f0: Features, f1: Features) -> Matches:
-        return frontend.match_with_ransac(self.cfg, self.matcher, f0, f1,
-                                          key=self._next_key())
+    def match(self, f0: Features, f1: Features, key=None) -> Matches:
+        return frontend.match_with_ransac(
+            self.cfg, self.matcher, f0, f1,
+            key=key if key is not None else self._next_key())
 
     def _map_snapshot(self):
         """Padded map view for the jitted tracking step, CACHED ON DEVICE:
@@ -264,8 +275,9 @@ class SLAMSystem:
         tracking_lost = True
         if n_cand >= cfg.pnp_min_inliers:
             pts2d = feats.kpts[assoc.kp_idx]
+            from simpleslam_tpu.core.fused import SITE_PNP
             T_est, inl, n_inl, ok = pnp.solve_pnp_ransac(
-                self._next_key(), snap["positions"], pts2d,
+                self._site_key(frame_idx, SITE_PNP), snap["positions"], pts2d,
                 assoc.valid, jnp.asarray(self.K, jnp.float32),
                 cfg.ransac_thresh, Tcw_init=jnp.asarray(T_pred, jnp.float32),
                 n_hyp=cfg.ransac_hypotheses)
@@ -325,8 +337,10 @@ class SLAMSystem:
         P2[:M] = pts2d
         val = np.zeros(Mp, bool)
         val[:M] = True
+        from simpleslam_tpu.core.fused import SITE_RELOC
         T_r, _inl, n_inl, ok = pnp.solve_pnp_ransac(
-            self._next_key(), jnp.asarray(P3), jnp.asarray(P2),
+            self._site_key(frame_idx, SITE_RELOC), jnp.asarray(P3),
+            jnp.asarray(P2),
             jnp.asarray(val), jnp.asarray(self.K, jnp.float32),
             cfg.ransac_thresh, Tcw_init=jnp.asarray(T_pred, jnp.float32),
             n_hyp=cfg.ransac_hypotheses)
@@ -345,10 +359,11 @@ class SLAMSystem:
         (main_revamped.py:502-542)."""
         cfg = self.cfg
         poses = self.world_map.poses
+        from simpleslam_tpu.core.fused import SITE_ESS
         p0 = prev_feats.kpts[matches.idx0]
         p1 = feats.kpts[matches.idx1]
         E, inl, ok = epipolar.find_essential(
-            self._next_key(), p0, p1, matches.valid,
+            self._site_key(frame_idx, SITE_ESS), p0, p1, matches.valid,
             jnp.asarray(self.K, jnp.float32), cfg.ransac_thresh,
             n_hyp=cfg.ransac_hypotheses)
         if not bool(ok):
@@ -373,12 +388,16 @@ class SLAMSystem:
     def _maybe_keyframe(self, frame_idx: int, img: np.ndarray,
                         feats: Features) -> int:
         """Keyframe policy + triangulation + local BA. Returns #new points."""
+        from simpleslam_tpu.core.fused import SITE_KF_MATCH, SITE_KF_MATCH2
+
         cfg = self.cfg
         T_cur = self.world_map.poses[-1]
         n_before = len(self.kfs)
+        k_kfm = self._site_key(frame_idx, SITE_KF_MATCH)
         self.kfs, self.last_kf_frame_no = select_keyframe(
             cfg, frame_idx, img, feats, T_cur,
-            lambda a, b: self.match(a, b), self.kfs, self.last_kf_frame_no)
+            lambda a, b: self.match(a, b, key=k_kfm), self.kfs,
+            self.last_kf_frame_no)
         if len(self.kfs) == n_before:
             return 0
         # record which FRAME this KF corresponds to
@@ -391,7 +410,7 @@ class SLAMSystem:
                     cfg, self.K, self.kfs[-2], self.kfs[-1], self.world_map,
                     self.matcher,
                     parallax_min_deg=cfg.triangulation_parallax_min_deg,
-                    key=self._next_key())
+                    key=k_kfm)
                 if getattr(cfg, "tri_kf2", False) and len(self.kfs) >= 3:
                     # second pass vs the KF before: doubled baseline recovers
                     # the forward-motion geometry the 2 deg parallax gate
@@ -403,7 +422,8 @@ class SLAMSystem:
                         cfg, self.K, self.kfs[-3], self.kfs[-1],
                         self.world_map, self.matcher,
                         parallax_min_deg=cfg.triangulation_parallax_min_deg,
-                        key=self._next_key(), exclude_cur_kp=used)
+                        key=self._site_key(frame_idx, SITE_KF_MATCH2),
+                        exclude_cur_kp=used)
         if len(new_ids) >= cfg.local_ba_min_new_points and len(self.kfs) >= 2:
             try:
                 poses_before = None
@@ -449,7 +469,10 @@ class SLAMSystem:
             return feats
 
         with self.timer.stage("match_prev"):
-            matches_prev = self.match(prev_feats, feats)
+            from simpleslam_tpu.core.fused import SITE_PREV_MATCH
+            matches_prev = self.match(
+                prev_feats, feats,
+                key=self._site_key(frame_idx, SITE_PREV_MATCH))
         with self.timer.stage("track"):
             self._track(frame_idx, feats, prev_feats, matches_prev)
         with self.timer.stage("keyframe"):
@@ -665,7 +688,10 @@ def run(cfg: SLAMConfig) -> SLAMResult:
         fps=(n / dt) if dt > 0 else 0.0,
         n_frames=n,
         tracking_lost_count=system.tracking_lost_count,
-        map_compactions=int(getattr(system, "_fused_compactions", 0)))
+        map_compactions=int(getattr(system, "_fused_compactions", 0)),
+        kf_frames=[system.frame_ids[i]
+                   for i in system.world_map.keyframe_indices
+                   if i < len(system.frame_ids)])
 
     out_png = f"trajectory_{cfg.dataset}.png"
     try:

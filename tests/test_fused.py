@@ -2,8 +2,10 @@
 
 The fused program (core/fused.py) must reproduce the host state machine's
 behavior (same thresholds, same trigger order) with everything on device.
-This exercises the whole loop on a synthetic corridor and checks the two
-modes agree on trajectory quality and map growth.
+Parity here is SHARP (VERDICT round-2 item 4): identical keyframe
+schedules, per-frame pose deltas after gauge (Sim3) alignment, and an ATE
+band that fails on a 2x regression — plus eviction survival and
+save -> resume with observations intact (item 6).
 """
 import numpy as np
 import pytest
@@ -11,6 +13,7 @@ import pytest
 from simpleslam_tpu.config import parse_config
 from simpleslam_tpu.run_slam import run
 from simpleslam_tpu.tools.synth import generate_kitti_sequence
+from simpleslam_tpu.viz.trajectory2d import umeyama_sim3
 
 
 @pytest.fixture(scope="module")
@@ -30,17 +33,51 @@ def _cfg(base, fused, *extra):
     return parse_config(argv)
 
 
+def _centers(res):
+    return {f: -p[:3, :3].T @ p[:3, 3]
+            for f, p in zip(res.frame_ids, res.poses_cw)}
+
+
 def test_fused_matches_host(corridor, tmp_path, monkeypatch):
+    # --tri_kf2 keeps the map replenished so association stays strong on
+    # every frame; without it the corridor decays to ~50-candidate frames
+    # where a float-noise-level pose difference can flip the near-threshold
+    # rotation trigger and fork the KF schedule
     monkeypatch.chdir(tmp_path)
-    res_host = run(_cfg(corridor, fused=False))
-    res_fused = run(_cfg(corridor, fused=True))
+    res_host = run(_cfg(corridor, False, "--tri_kf2"))
+    res_fused = run(_cfg(corridor, True, "--tri_kf2"))
 
     assert res_fused.ate is not None and res_host.ate is not None
-    # both complete the corridor; quality parity within noise
-    assert res_host.ate < 1.0
-    assert res_fused.ate < 1.0
-    assert abs(res_fused.ate - res_host.ate) < 0.5
-    assert res_fused.n_keyframes == res_host.n_keyframes
+    # IDENTICAL keyframe schedule: both modes draw per-(frame, site) RNG
+    # keys (core/fused.frame_key), so policy decisions coincide exactly
+    assert res_fused.kf_frames == res_host.kf_frames
+    ch, cf = _centers(res_host), _centers(res_fused)
+    common = sorted(set(ch) & set(cf))
+    assert len(common) == res_fused.n_frames
+    # SHARP segment: until the first post-bootstrap keyframe the two modes
+    # run the identical tracking program with identical keys — poses must
+    # agree to float noise (measured 4e-4 m; 0.02 m bound). Bootstrap
+    # frames 0/1 are excluded: their poses are KF poses that each mode's
+    # local BA later refines in place (gauge orbit, see below).
+    first_kf = next(f for f in res_host.kf_frames if f > 1)
+    d_pre = [np.linalg.norm(cf[f] - ch[f])
+             for f in common if 1 < f < first_kf]
+    assert len(d_pre) >= 3
+    assert max(d_pre) < 0.02, f"pre-KF fused-vs-host delta {max(d_pre)}"
+    # after keyframes the local-BA window has a monocular scale gauge
+    # freedom (only KFs older than the window are fixed), so the two modes
+    # legitimately land on different points of the gauge orbit; Sim3-align
+    # and bound the residual SHAPE difference at the measured noise floor
+    A = np.stack([cf[f] for f in common])
+    B = np.stack([ch[f] for f in common])
+    s, R, t = umeyama_sim3(A, B)
+    d = np.linalg.norm(s * A @ R.T + t - B, axis=1)
+    assert np.median(d) < 0.6, f"median fused-vs-host delta {np.median(d)}"
+    assert d.max() < 2.0, f"max fused-vs-host delta {d.max()}"
+    assert abs(s - 1.0) < 0.15                     # same bootstrap scale
+    # ATE band derived from the host's own error (fails on 2x regression)
+    floor = max(res_host.ate, 0.05)
+    assert abs(res_fused.ate - res_host.ate) < 0.5 * floor
     assert res_fused.tracking_lost_count == 0
     # map growth in the same ballpark (RANSAC seeds differ between modes)
     assert res_fused.n_landmarks > 0.5 * res_host.n_landmarks
@@ -69,6 +106,52 @@ def test_eviction_sustains_long_run(tmp_path_factory, tmp_path, monkeypatch):
     assert res.ate is not None and res.ate < 3.0
     assert res.tracking_lost_count <= res.n_frames // 3
     assert len(res.poses_cw) == res.n_frames
+
+
+def test_fused_eviction_save_resume(tmp_path_factory, tmp_path, monkeypatch):
+    """fused-with-eviction -> --save_state -> --resume on the longer
+    sequence: the sync must have preserved landmark observations and
+    materialized device-created keyframes, so the resumed fused run keeps
+    tracking (VERDICT round-2 item 6)."""
+    from simpleslam_tpu.utils.serialize import load_state
+
+    baseA = str(tmp_path_factory.mktemp("resume_full"))
+    baseB = str(tmp_path_factory.mktemp("resume_half"))
+    generate_kitti_sequence(baseA, n_frames=32, seed=5, hw=(180, 410),
+                            speed=0.6, yaw_rate_deg=0.4)
+    generate_kitti_sequence(baseB, n_frames=22, seed=5, hw=(180, 410),
+                            speed=0.6, yaw_rate_deg=0.4)
+    monkeypatch.chdir(tmp_path)
+    state_file = str(tmp_path / "state.npz")
+    flags = ["--headless", "--no_viz3d", "--max_features", "512",
+             "--map_capacity", "768", "--map_evict_age", "6", "--fused"]
+    cfg1 = parse_config(["--dataset", "kitti", "--base_dir", baseB, *flags,
+                         "--save_state", state_file])
+    res1 = run(cfg1)
+    assert res1.map_compactions > 0         # eviction DID reorder the store
+
+    # the saved state is faithful: observations on the synced landmarks
+    # (creation obs pairs), device-created keyframes materialized
+    m, kfs, _cfgd, frame_ids = load_state(state_file)
+    assert len(kfs) == res1.n_keyframes and len(kfs) > 2
+    ring_kfs = [kf for kf in kfs if np.asarray(kf.feats.valid).any()]
+    assert len(ring_kfs) >= min(len(kfs), 3)
+    n_obs = sum(len(m.points[p].observations) for p in m.points)
+    assert n_obs >= 1.5 * len(m), (n_obs, len(m))   # ~2 obs per landmark
+    # observation kf indices must reference real keyframes
+    some = [m.points[p].observations for p in list(m.points)[:50]]
+    for obs in some:
+        for kf_idx, kp_idx, d in obs:
+            assert 0 <= kf_idx < len(kfs)
+            assert np.linalg.norm(np.asarray(d, np.float32)) > 0
+
+    cfg2 = parse_config(["--dataset", "kitti", "--base_dir", baseA, *flags,
+                         "--resume", state_file])
+    res2 = run(cfg2)
+    assert len(res2.poses_cw) == 32         # 22 restored + 10 continued
+    assert res2.frame_ids[-1] == 31
+    assert res2.ate is not None and res2.ate < 3.0
+    assert res2.tracking_lost_count <= 10
 
 
 def test_tri_kf2_grows_map(corridor, tmp_path, monkeypatch):
