@@ -109,16 +109,25 @@ def _inv3x3(M: jax.Array) -> jax.Array:
     return adj / det[..., None, None]
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-@highest_precision
-def ba_solve(problem: BAProblem, K: jax.Array, *,
-             huber: float = 2.0, max_iters: int = 12,
-             init_lambda: float = 1e-3):
-    """Run LM with Schur-complement steps; returns
-    (poses, points, cost_initial, cost_final, n_good_iters)."""
+def _ba_solve_impl(problem: BAProblem, K: jax.Array, *,
+                   huber: float = 2.0, max_iters: int = 12,
+                   init_lambda: float = 1e-3, axis_name=None):
+    """LM + Schur-complement solver body.
+
+    ``axis_name``: when set, the EDGE arrays (cam_idx/pt_idx/uv/e_valid) are
+    the local shard of a mesh axis with that name and every edge reduction
+    (normal-equation blocks U/V/g, the camera-point coupling A, and the
+    robust cost) is psum-ed across it — the multi-device landmark-block
+    parallelism of SURVEY §2 (the TPU analog of Ceres' internal threading,
+    reference ba_utils.py:288). Poses/points stay replicated; the tiny
+    reduced camera solve runs redundantly on every device.
+    """
     P = problem.poses.shape[0]
     L = problem.points.shape[0]
     K = K.astype(jnp.float32)
+
+    def allreduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
 
     cam_idx = problem.cam_idx
     pt_idx = problem.pt_idx
@@ -130,7 +139,7 @@ def ba_solve(problem: BAProblem, K: jax.Array, *,
 
     def cost_of(poses, points):
         r, ok, _ = _edge_residuals(poses, points, K, cam_idx, pt_idx, uv, e_valid)
-        return _robust_cost(r, ok, huber)
+        return allreduce(_robust_cost(r, ok, huber))
 
     # loop-invariant one-hot reduction matrices (E,P)/(E,L): building the
     # (E,L) f32 tensor inside the LM body re-materializes hundreds of MB
@@ -172,16 +181,16 @@ def ba_solve(problem: BAProblem, K: jax.Array, *,
         # keeps the whole assembly on the MXU. One-hot entries are exactly
         # 0/1, so the reduction is exact in f32.
         JJc = jnp.einsum("eri,erj->eij", wJcam, Jcam).reshape(-1, 36)
-        U = (oh_cam.T @ JJc).reshape(P, 6, 6)
+        U = allreduce((oh_cam.T @ JJc).reshape(P, 6, 6))
         JJp = jnp.einsum("eri,erj->eij", wJpt, Jpt).reshape(-1, 9)
-        V = (oh_pt.T @ JJp).reshape(L, 3, 3)
-        gc = (oh_cam.T @ -jnp.einsum("eri,er->ei", wJcam, r))       # (P,6)
-        gp = (oh_pt.T @ -jnp.einsum("eri,er->ei", wJpt, r))         # (L,3)
+        V = allreduce((oh_pt.T @ JJp).reshape(L, 3, 3))
+        gc = allreduce(oh_cam.T @ -jnp.einsum("eri,er->ei", wJcam, r))  # (P,6)
+        gp = allreduce(oh_pt.T @ -jnp.einsum("eri,er->ei", wJpt, r))    # (L,3)
         # camera-point coupling A[l, p] (L, P, 6, 3): expand the camera
         # one-hot into the value axis, then reduce over edges by point
         cross = jnp.einsum("eri,erj->eij", wJcam, Jpt).reshape(-1, 18)
         Z = (oh_cam[:, :, None] * cross[:, None, :]).reshape(-1, P * 18)
-        A = (oh_pt.T @ Z).reshape(L, P, 6, 3)
+        A = allreduce((oh_pt.T @ Z).reshape(L, P, 6, 3))
 
         # LM damping (multiplicative on the diagonal, Ceres-style)
         eye6 = jnp.eye(6, dtype=jnp.float32)
@@ -258,6 +267,74 @@ def ba_solve(problem: BAProblem, K: jax.Array, *,
                      jnp.asarray(False)))
     c1 = cost_of(poses, points)
     return poses, points, c0, c1, n_good
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+@highest_precision
+def ba_solve(problem: BAProblem, K: jax.Array, *,
+             huber: float = 2.0, max_iters: int = 12,
+             init_lambda: float = 1e-3):
+    """Run LM with Schur-complement steps; returns
+    (poses, points, cost_initial, cost_final, n_good_iters)."""
+    return _ba_solve_impl(problem, K, huber=huber, max_iters=max_iters,
+                          init_lambda=init_lambda)
+
+
+def ba_solve_sharded(problem: BAProblem, K: jax.Array, mesh, *,
+                     axis: str = "dp", huber: float = 2.0,
+                     max_iters: int = 12, init_lambda: float = 1e-3):
+    """Multi-device BA: edges sharded over ``mesh`` axis ``axis``, block
+    reductions psum-ed over ICI, replicated camera/landmark state and a
+    redundant (tiny) reduced-camera solve per device.
+
+    Semantically identical to :func:`ba_solve` up to float reassociation in
+    the psum (the one-hot reductions themselves are exact). Worth it when
+    the edge count is large enough that Jacobian assembly dominates the
+    dense Schur solve; the single-chip default stays :func:`ba_solve`.
+    """
+    from jax.sharding import PartitionSpec as Pspec
+    try:
+        from jax import shard_map
+    except ImportError:                        # older jax
+        from jax.experimental.shard_map import shard_map
+
+    n_shard = int(mesh.shape[axis])
+    E = problem.cam_idx.shape[0]
+    pad = (-E) % n_shard
+    if pad:
+        def padded(a, fill=0):
+            return jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
+        problem = problem._replace(
+            cam_idx=padded(problem.cam_idx), pt_idx=padded(problem.pt_idx),
+            uv=padded(problem.uv),
+            e_valid=padded(problem.e_valid, False))
+
+    # edge arrays shard dim 0 over `axis`; other mesh axes replicate
+    espec = Pspec(axis)
+
+    @jax.jit
+    @highest_precision
+    def run(poses, points, cam_idx, pt_idx, uv, e_valid, cam_free, pt_free):
+        def inner(poses, points, cam_idx, pt_idx, uv, e_valid,
+                  cam_free, pt_free):
+            prob = BAProblem(poses=poses, points=points, cam_idx=cam_idx,
+                             pt_idx=pt_idx, uv=uv, e_valid=e_valid,
+                             cam_free=cam_free, pt_free=pt_free)
+            return _ba_solve_impl(prob, K, huber=huber, max_iters=max_iters,
+                                  init_lambda=init_lambda, axis_name=axis)
+
+        return shard_map(
+            inner, mesh=mesh,
+            in_specs=(Pspec(), Pspec(), espec, espec, espec, espec,
+                      Pspec(), Pspec()),
+            out_specs=(Pspec(), Pspec(), Pspec(), Pspec(), Pspec()),
+        )(poses, points, cam_idx, pt_idx, uv, e_valid, cam_free, pt_free)
+
+    with mesh:
+        return run(problem.poses, problem.points, problem.cam_idx,
+                   problem.pt_idx, problem.uv, problem.e_valid,
+                   problem.cam_free, problem.pt_free)
 
 
 @partial(jax.jit, static_argnames=("max_iters",))
