@@ -38,12 +38,13 @@ def _enable_cache():
         pass
 
 
-def _full_scale_frames(H=376, W=1232, n=40, yaw=0.3):
+def _full_scale_frames(H=376, W=1232, n=40, yaw=0.3, seed=0,
+                       scene="corridor"):
     # NOTE on yaw: the trajectory curves at speed/yaw_rate radius (~95 m at
     # 0.3 deg/frame) INSIDE a corridor with walls at +-10 m — beyond ~85
     # frames the camera exits the scene and geometry degenerates. Long-run
-    # probes must use a gentler yaw.
-    from simpleslam_tpu.tools.synth import (CorridorScene, DEFAULT_K,
+    # probes must use a gentler yaw (0 keeps the camera in-corridor forever).
+    from simpleslam_tpu.tools.synth import (DEFAULT_K, SCENE_FAMILIES,
                                             make_trajectory)
 
     s = W / 1232.0
@@ -51,15 +52,17 @@ def _full_scale_frames(H=376, W=1232, n=40, yaw=0.3):
     K[0] *= s
     K[1] *= s
     K[1, 2] = 0.487 * H
-    cache = f"/tmp/synth_frames_{H}x{W}_{n}_y{yaw}.npz" if yaw != 0.3 \
-        else f"/tmp/synth_frames_{H}x{W}_{n}.npz"
+    tag = "" if (seed == 0 and scene == "corridor") else f"_{scene}{seed}"
+    cache = (f"/tmp/synth_frames_{H}x{W}_{n}{tag}_y{yaw}.npz"
+             if yaw != 0.3 else f"/tmp/synth_frames_{H}x{W}_{n}{tag}.npz")
     if os.path.exists(cache):
         frames = np.load(cache)["frames"]
     else:
-        print(f"rendering {n} frames at {H}x{W}...", flush=True)
-        scene = CorridorScene(seed=0, hw=(H, W), K=K)
+        print(f"rendering {n} {scene} frames (seed {seed}) at {H}x{W}...",
+              flush=True)
+        sc = SCENE_FAMILIES[scene](seed=seed, hw=(H, W), K=K)
         T = make_trajectory(n, speed=0.5, yaw_rate_deg=yaw)
-        frames = np.stack([scene.render(T[i]) for i in range(n)])
+        frames = np.stack([sc.render(T[i]) for i in range(n)])
         np.savez_compressed(cache, frames=frames)
     return frames, K, make_trajectory(n, speed=0.5, yaw_rate_deg=yaw)
 
@@ -71,7 +74,7 @@ def cmd_desc(a) -> int:
 
     from simpleslam_tpu.config import parse_config
     from simpleslam_tpu.models import pipeline as pipe_mod
-    from simpleslam_tpu.tools.synth import (CorridorScene, DEFAULT_K,
+    from simpleslam_tpu.tools.synth import (DEFAULT_K, SCENE_FAMILIES,
                                             make_trajectory)
 
     for (H, W, n_kp) in [(144, 256, 512), (376, 1232, 2048)]:
@@ -80,7 +83,7 @@ def cmd_desc(a) -> int:
         K[0] *= s
         K[1] *= s
         K[1, 2] = 0.487 * H
-        scene = CorridorScene(seed=0, hw=(H, W), K=K)
+        scene = SCENE_FAMILIES[a.scene](seed=a.seed, hw=(H, W), K=K)
         T = make_trajectory(10, speed=0.5, yaw_rate_deg=0.3)
         rend = [scene.render_with_geometry(T[i]) for i in range(10)]
 
@@ -141,7 +144,7 @@ def cmd_tri(a) -> int:
                                                   triangulate_two_view,
                                                   two_view_gates)
 
-    frames, K, T_wc = _full_scale_frames()
+    frames, K, T_wc = _full_scale_frames(seed=a.seed, scene=a.scene)
     argv = ["--dataset", "kitti", "--headless", "--max_features", "2048"]
     if a.learned:
         argv += ["--use_lightglue", "--min_conf", str(a.min_conf)]
@@ -184,7 +187,8 @@ def cmd_e2e(a) -> int:
                                            make_fused_config, state_from_host)
     from simpleslam_tpu.run_slam import SLAMSystem
 
-    frames, K, _ = _full_scale_frames(n=a.frames, yaw=a.yaw)
+    frames, K, _ = _full_scale_frames(n=a.frames, yaw=a.yaw, seed=a.seed,
+                                      scene=a.scene)
     n_frames = len(frames)
     argv = ["--dataset", "kitti", "--headless", "--no_viz3d",
             "--max_features", "2048", "--map_capacity", str(a.capacity)]
@@ -206,21 +210,31 @@ def cmd_e2e(a) -> int:
     print(f"bootstrapped at {start - 1}; map={len(system.world_map)}",
           flush=True)
 
+    log_cap = 1 << max(10, n_frames.bit_length())     # no log wrap on soaks
     fc = make_fused_config(cfg, (H, W), n_kp=int(prev_feats.kpts.shape[0]),
                            desc_dim=int(np.asarray(prev_feats.desc).shape[1]),
-                           log_capacity=1024)
+                           log_capacity=log_cap)
     match_fn = getattr(system.matcher, "fn_fast", None) or system.matcher.fn
     step = build_fused_step(fc, system.K, system.detector.fn, match_fn, None)
     state = state_from_host(system, fc, prev_feats)
     t0 = time.perf_counter()
+    t_warm = None
     for i in range(start, n_frames):
         state = step(state, jnp.asarray(frames[i]))
+        if i == start + 9:
+            _ = float(jnp.sum(state.Tcw))      # force the first 10 frames
+            t_warm = time.perf_counter()
     flags = np.asarray(state.log_flags)
     frames_log = np.asarray(state.log_frame)
     n = int(np.asarray(state.log_n))
-    print(f"ran {n} frames in {time.perf_counter() - t0:.1f}s (incl compile)")
+    dt = time.perf_counter() - t0
+    print(f"ran {n} frames in {dt:.1f}s (incl compile)")
+    if t_warm is not None and n_frames - start > 20:
+        sustained = (n_frames - start - 10) / (time.perf_counter() - t_warm)
+        print(f"sustained (post-warm-up) {sustained:.2f} frames/s over "
+              f"{n_frames - start - 10} frames")
     print("frame tracked kf n_inl n_new n_cand ba")
-    for i in range(n):
+    for i in range(0, n, max(1, a.log_every)):
         f = flags[i]
         print(f"{frames_log[i]:5d} {int(f[0]):7d} {int(f[1]):2d}"
               f" {int(f[2]):5d} {int(f[3]):5d} {int(f[4]):6d} {int(f[5]):2d}")
@@ -305,7 +319,7 @@ def cmd_ba(a) -> int:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("diagnose")
     sub = p.add_subparsers(dest="cmd", required=True)
-    sub.add_parser("desc")
+    spd = sub.add_parser("desc")
     for name in ("tri", "e2e"):
         sp = sub.add_parser(name)
         sp.add_argument("--learned", action="store_true", default=True)
@@ -316,9 +330,18 @@ def main(argv=None) -> int:
             sp.add_argument("--frames", type=int, default=40)
             sp.add_argument("--yaw", type=float, default=0.3)
             sp.add_argument("--capacity", type=int, default=8192)
+            sp.add_argument("--log_every", type=int, default=1,
+                            help="print every Nth per-frame log row")
             sp.add_argument("--extra", default="",
                             help="extra run_slam CLI flags, space-separated")
     sub.add_parser("ba")
+    # held-out evaluation controls (VERDICT round-2 item 1: scene seeds >=
+    # 100 and the 'boxes' family are OUTSIDE the training pool)
+    for sp in (spd, *(s for s in sub.choices.values() if s is not spd)):
+        sp.add_argument("--seed", type=int, default=0,
+                        help="scene seed (training pool is seeds 0-3)")
+        sp.add_argument("--scene", choices=("corridor", "boxes"),
+                        default="corridor")
     a = p.parse_args(argv)
     _enable_cache()
     return {"desc": cmd_desc, "tri": cmd_tri,

@@ -1,0 +1,78 @@
+"""The second synthetic scene family (BoxScene) used for held-out
+generalization evaluation (VERDICT round-2 item 1b): geometric consistency
+of its raycast output, and the full pipeline running end-to-end on it."""
+import numpy as np
+import pytest
+
+from simpleslam_tpu.tools.synth import (BoxScene, CorridorScene, DEFAULT_K,
+                                        SCENE_FAMILIES, generate_kitti_sequence,
+                                        make_trajectory)
+
+
+def _scaled_K(H, W):
+    s = W / 1232.0
+    K = DEFAULT_K.copy()
+    K[0] *= s
+    K[1] *= s
+    K[1, 2] = 0.487 * H
+    return K
+
+
+def test_box_scene_multiview_consistency():
+    """Hit points from view 0 must project into view 1 at pixels whose ray
+    depth matches — i.e. the boxes are static world geometry, usable as
+    exact correspondence supervision like the corridor."""
+    H, W = 120, 360
+    K = _scaled_K(H, W)
+    scene = BoxScene(seed=42, hw=(H, W), K=K)
+    T = make_trajectory(4, speed=0.5, yaw_rate_deg=0.2)
+    img0, hit0, d0 = scene.render_with_geometry(T[0])
+    img1, _hit1, d1 = scene.render_with_geometry(T[3])
+    assert img0.shape == (H, W) and img0.dtype == np.uint8
+    # scene statistics differ from the corridor (sky + hard edges)
+    assert (~np.isfinite(d0)).mean() > 0.05          # some sky visible
+    m = np.isfinite(d0)
+    assert m.mean() > 0.3                            # mostly geometry
+
+    ys, xs = np.nonzero(m)
+    sel = np.random.default_rng(0).choice(len(ys), 2000, replace=False)
+    Xw = hit0[ys[sel], xs[sel]]
+    T1cw = np.linalg.inv(T[3])
+    Xc = Xw @ T1cw[:3, :3].T + T1cw[:3, 3]
+    z = Xc[:, 2]
+    uv = (Xc[:, :2] / np.maximum(z[:, None], 1e-6)) \
+        * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+    inb = (z > 0.2) & (uv[:, 0] >= 0) & (uv[:, 0] < W - 1) \
+        & (uv[:, 1] >= 0) & (uv[:, 1] < H - 1)
+    ui = np.clip(uv[inb, 0].round().astype(int), 0, W - 1)
+    vi = np.clip(uv[inb, 1].round().astype(int), 0, H - 1)
+    r1 = np.linalg.norm(Xc[inb], axis=1)
+    depth_at = d1[vi, ui]
+    # visible (unoccluded) fraction agrees with the other view's depth map
+    vis = np.isfinite(depth_at) & (np.abs(depth_at - r1)
+                                   < 0.1 * np.maximum(r1, 1.0))
+    assert vis.mean() > 0.5
+
+
+def test_scene_families_registry():
+    assert SCENE_FAMILIES["corridor"] is CorridorScene
+    assert SCENE_FAMILIES["boxes"] is BoxScene
+
+
+def test_box_scene_e2e_classical(tmp_path_factory, tmp_path, monkeypatch):
+    """Classical ORB VO bootstraps and tracks on the box-field family —
+    the scene generalization target is usable as a pipeline fixture."""
+    from simpleslam_tpu.config import parse_config
+    from simpleslam_tpu.run_slam import run
+
+    base = str(tmp_path_factory.mktemp("boxes_seq"))
+    generate_kitti_sequence(base, n_frames=12, seed=21, hw=(180, 410),
+                            speed=0.4, yaw_rate_deg=0.2, scene="boxes")
+    monkeypatch.chdir(tmp_path)
+    cfg = parse_config(["--dataset", "kitti", "--base_dir", base,
+                        "--headless", "--no_viz3d", "--max_features", "512",
+                        "--map_capacity", "2048"])
+    res = run(cfg)
+    assert len(res.poses_cw) == 12
+    assert res.n_landmarks > 50
+    assert res.ate is not None and res.ate < 1.0
