@@ -177,8 +177,9 @@ class ScenePairPool:
     """
 
     def __init__(self, hw, n_views: int = 160, seed: int = 0,
-                 n_scenes: int = 4, render_hw=None):
-        from simpleslam_tpu.tools.synth import (CorridorScene, DEFAULT_K,
+                 n_scenes: int = 4, render_hw=None,
+                 families: Tuple[str, ...] = ("corridor",)):
+        from simpleslam_tpu.tools.synth import (DEFAULT_K, SCENE_FAMILIES,
                                                 make_trajectory)
         H, W = hw
         if render_hw is None:
@@ -202,16 +203,21 @@ class ScenePairPool:
         self.imgs, self.pts, self.depth, self.poses = [], [], [], []
         per = max(2, n_views // n_scenes)
         for sc in range(n_scenes):
-            scene = CorridorScene(seed=seed + sc, hw=(Hr, Wr), K=K)
+            fam = families[sc % len(families)]
+            scene = SCENE_FAMILIES[fam](seed=seed + sc, hw=(Hr, Wr), K=K)
+            # box scenes have featureless sky; keep yaw gentle so the view
+            # retains geometry, and always move forward for parallax
             T = make_trajectory(per, speed=float(rng.uniform(0.2, 0.8)),
                                 yaw_rate_deg=float(rng.uniform(0.0, 0.8)))
             for i in range(per):
                 img, hit, t = scene.render_with_geometry(T[i])
                 self.imgs.append(img)
                 self.pts.append(hit.astype(np.float32))
-                self.depth.append(t.astype(np.float32))
+                self.depth.append(np.nan_to_num(
+                    t, posinf=1e9).astype(np.float32))
                 self.poses.append(T[i].astype(np.float64))
         self.n = len(self.imgs)
+        self._per = per
 
     def batch(self, rng: np.random.Generator, B: int, G: int,
               max_gap: int = 4,
@@ -241,10 +247,15 @@ class ScenePairPool:
         yy, xx = np.mgrid[0:H, 0:W]
         for b in range(B):
             i = int(rng.integers(0, self.n))
+            # pairs must stay inside one scene block (views are concatenated
+            # per-scene; a cross-scene pair would yield bogus supervision)
+            blk = i // self._per
+            lo_i, hi_i = blk * self._per, min((blk + 1) * self._per,
+                                              self.n) - 1
             j = int(np.clip(i + rng.integers(1, max_gap + 1)
-                            * (1 if rng.random() < 0.5 else -1), 0, self.n - 1))
+                            * (1 if rng.random() < 0.5 else -1), lo_i, hi_i))
             if j == i:
-                j = min(i + 1, self.n - 1)
+                j = min(i + 1, hi_i)
             # crop offsets; view 1 crops at a jittered size then resizes
             s = float(np.exp(rng.uniform(-np.log(1 + scale_jitter),
                                          np.log(1 + scale_jitter)))) \

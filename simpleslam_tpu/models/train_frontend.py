@@ -47,6 +47,11 @@ def main(argv=None) -> int:
                    help="Render scene views at this resolution and train on "
                         "random --hw crops (match the pipeline's pixel-scale "
                         "appearance, e.g. 376 1232 for KITTI)")
+    p.add_argument("--families", default="corridor",
+                   help="comma-separated scene families for the pair pool "
+                        "(corridor,boxes) — alternated across scene blocks")
+    p.add_argument("--scenes", type=int, default=4,
+                   help="number of scene blocks in the pair pool")
     a = p.parse_args(argv)
 
     from simpleslam_tpu.models import train as train_mod
@@ -64,7 +69,8 @@ def main(argv=None) -> int:
     print(f"rendering scene-pair pool ({a.scene_views} views at {rhw}, "
           f"training on {H}x{W} crops)...", flush=True)
     pool = train_mod.ScenePairPool((H, W), n_views=a.scene_views, seed=a.seed,
-                                   render_hw=rhw)
+                                   render_hw=rhw, n_scenes=a.scenes,
+                                   families=tuple(a.families.split(",")))
     rng = np.random.default_rng(a.seed + 2)
 
     key = jax.random.PRNGKey(a.seed + 1)

@@ -5,9 +5,15 @@ sharded over the 'dp' mesh axis; each shard runs the jitted
 ALIKED-extract + LightGlue-match program locally; results gather back as
 sharded pytrees. XLA inserts any cross-device collectives (none are needed
 for pure dp; tp-sharded matcher weights add all-reduces over ICI).
+
+All entry points dispatch through MODULE-LEVEL jitted functions keyed on
+static (model, shape) args — a per-call ``@jax.jit`` closure would be a new
+function object every call and re-trace each time (measured 0.6 frames/s
+instead of >100 on the tunneled TPU).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -16,6 +22,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from simpleslam_tpu.core.types import Features, Matches
 from simpleslam_tpu.models import aliked as aliked_mod
 from simpleslam_tpu.models import lightglue as lg_mod
+
+
+@partial(jax.jit, static_argnames=("a_model", "max_kp"))
+def _extract(a_model, a_params, images, max_kp):
+    return aliked_mod.extract_batch(a_model, a_params, images, max_kp)
+
+
+@partial(jax.jit, static_argnames=("l_model", "image_hw", "min_conf"))
+def _match(l_model, l_params, f0, f1, image_hw, min_conf):
+    return lg_mod.match_batch(l_model, l_params, f0, f1, image_hw, min_conf)
+
+
+@partial(jax.jit, static_argnames=("a_model", "l_model", "max_kp",
+                                   "image_hw", "min_conf"))
+def _extract_and_match(a_model, a_params, l_model, l_params, im0, im1,
+                       max_kp, image_hw, min_conf):
+    f0 = aliked_mod.extract_batch(a_model, a_params, im0, max_kp)
+    f1 = aliked_mod.extract_batch(a_model, a_params, im1, max_kp)
+    m = lg_mod.match_batch(l_model, l_params, f0, f1, image_hw, min_conf)
+    return f0, f1, m
 
 
 def sharded_extract(a_model, a_params, images: jax.Array, mesh: Mesh, *,
@@ -27,12 +53,7 @@ def sharded_extract(a_model, a_params, images: jax.Array, mesh: Mesh, *,
     """
     bspec = NamedSharding(mesh, P("dp"))
     images = jax.device_put(images, bspec)
-
-    @jax.jit
-    def run(params_a, im):
-        return aliked_mod.extract_batch(a_model, params_a, im, max_kp)
-
-    return run(a_params, images)
+    return _extract(a_model, a_params, images, max_kp)
 
 
 def sharded_extract_classical(det_fn, grays: jax.Array, mesh: Mesh):
@@ -50,12 +71,7 @@ def sharded_match(l_model, l_params, f0: Features, f1: Features, mesh: Mesh,
     bspec = NamedSharding(mesh, P("dp"))
     f0 = jax.device_put(f0, bspec)
     f1 = jax.device_put(f1, bspec)
-
-    @jax.jit
-    def run(params_l, a, b):
-        return lg_mod.match_batch(l_model, params_l, a, b, image_hw, min_conf)
-
-    return run(l_params, f0, f1)
+    return _match(l_model, l_params, f0, f1, image_hw, min_conf)
 
 
 def sharded_extract_and_match(a_model, a_params, l_model, l_params,
@@ -71,12 +87,5 @@ def sharded_extract_and_match(a_model, a_params, l_model, l_params,
     bspec = NamedSharding(mesh, P("dp"))
     images0 = jax.device_put(images0, bspec)
     images1 = jax.device_put(images1, bspec)
-
-    @jax.jit
-    def run(params_a, params_l, im0, im1):
-        f0 = aliked_mod.extract_batch(a_model, params_a, im0, max_kp)
-        f1 = aliked_mod.extract_batch(a_model, params_a, im1, max_kp)
-        m = lg_mod.match_batch(l_model, params_l, f0, f1, image_hw, min_conf)
-        return f0, f1, m
-
-    return run(a_params, l_params, images0, images1)
+    return _extract_and_match(a_model, a_params, l_model, l_params,
+                              images0, images1, max_kp, image_hw, min_conf)
