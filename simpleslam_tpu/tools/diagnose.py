@@ -217,10 +217,30 @@ def cmd_e2e(a) -> int:
     match_fn = getattr(system.matcher, "fn_fast", None) or system.matcher.fn
     step = build_fused_step(fc, system.K, system.detector.fn, match_fn, None)
     state = state_from_host(system, fc, prev_feats)
+    staged = None
+    if a.stage_all:
+        # Pre-upload every frame to HBM (u8, ~0.46 MB each) so the timed
+        # loop measures the fused step, not the debug tunnel's ~150 MB/s
+        # host->device path. 1200 KITTI-res frames = ~0.5 GB of HBM.
+        print(f"staging {n_frames - start} frames on device "
+              f"({(n_frames - start) * frames[0].nbytes / 1e6:.0f} MB)...",
+              flush=True)
+        t_up = time.perf_counter()
+        staged = []
+        for i in range(start, n_frames):
+            staged.append(jax.device_put(jnp.asarray(frames[i])))
+            if (i - start) % 100 == 99:
+                _ = float(jnp.sum(staged[-1][0]))
+                print(f"  staged {i - start + 1} "
+                      f"({time.perf_counter() - t_up:.0f}s)", flush=True)
+        _ = float(jnp.sum(staged[-1][0]))
+        print(f"staged in {time.perf_counter() - t_up:.0f}s", flush=True)
     t0 = time.perf_counter()
     t_warm = None
     for i in range(start, n_frames):
-        state = step(state, jnp.asarray(frames[i]))
+        img = staged[i - start] if staged is not None \
+            else jnp.asarray(frames[i])
+        state = step(state, img)
         if i == start + 9:
             _ = float(jnp.sum(state.Tcw))      # force the first 10 frames
             t_warm = time.perf_counter()
@@ -334,6 +354,10 @@ def main(argv=None) -> int:
                             help="print every Nth per-frame log row")
             sp.add_argument("--extra", default="",
                             help="extra run_slam CLI flags, space-separated")
+            sp.add_argument("--stage_all", action="store_true",
+                            help="pre-upload all frames to HBM so the timed "
+                                 "loop excludes the debug tunnel's slow "
+                                 "host->device path (long soaks)")
     sub.add_parser("ba")
     # held-out evaluation controls (VERDICT round-2 item 1: scene seeds >=
     # 100 and the 'boxes' family are OUTSIDE the training pool)

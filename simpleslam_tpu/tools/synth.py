@@ -119,13 +119,19 @@ class CorridorScene:
 
         # ALL planes are STATIC world geometry — scenery anchored to the
         # camera would be inconsistent across views and poison stereo /
-        # multi-view estimation. The far wall re-anchors on a 50 m world grid
-        # so it stays ahead of any trajectory length.
+        # multi-view estimation. The far wall re-anchors on a 10 m world
+        # grid so it stays ~200 m ahead of any trajectory length: each
+        # re-anchor moves it 10 m (a 5% depth change at 200 m), which the
+        # matcher rides out. A 50 m grid measurably poisons long runs —
+        # the 1200-frame soak lost association (n_cand=0 -> reloc) exactly
+        # at the 50 m crossings because the whole central image region
+        # teleported 25% deeper between two frames. Far-wall hits are
+        # beyond max_depth=100 so they never become landmarks either way.
         plane(1, self.ground_y, lambda dn: dn > 0)               # ground
         plane(0, self.wall_x, lambda dn: dn > 0)                 # right wall
         plane(0, -self.wall_x, lambda dn: dn < 0)                # left wall
         plane(1, -3.0 * self.wall_x, lambda dn: dn < 0)          # high ceiling
-        far_z = np.floor(C[2] / 50.0) * 50.0 + 200.0
+        far_z = np.floor(C[2] / 10.0) * 10.0 + 200.0
         plane(2, far_z, lambda dn: dn > 0)
 
         img = self.tex(hit)
