@@ -327,7 +327,33 @@ class Sequence:
         frames = load_sequence(args)
         calib = load_calibration(args)
         gt = load_groundtruth(args)
-        return cls(frames=frames, calib=calib, gt=gt, name=args.dataset)
+        seq = cls(frames=frames, calib=calib, gt=gt, name=args.dataset)
+        seq._rescale_calib_to_frames(args.dataset)
+        return seq
+
+    # the hard-coded calibrations (reference parity) correspond to these
+    # native image sizes; frames at any other size get the intrinsics
+    # rescaled per axis (fx,cx by W-ratio; fy,cy by H-ratio; P rows
+    # likewise, which carries the fx-scaled stereo baseline term).
+    # The reference has no such path (it only ever feeds native images);
+    # without it, resized inputs are silently interpreted with a ~3x-wrong
+    # focal length.
+    _NATIVE_HW = {"kitti": (370, 1226), "malaga": (600, 800),
+                  "tum-rgbd": (480, 640)}
+
+    def _rescale_calib_to_frames(self, dataset: str) -> None:
+        native = self._NATIVE_HW.get(dataset)
+        if native is None or not self.frames:
+            return
+        img = self.frame(0)
+        H, W = img.shape[:2]
+        sy, sx = H / native[0], W / native[1]
+        if abs(sx - 1.0) < 1e-6 and abs(sy - 1.0) < 1e-6:
+            return
+        S = np.diag([sx, sy, 1.0])
+        for key in ("K_l", "K_r", "P_l", "P_r"):
+            if self.calib.get(key) is not None:
+                self.calib[key] = S @ self.calib[key]
 
     def __len__(self) -> int:
         return len(self.frames)

@@ -732,6 +732,8 @@ def run(cfg: SLAMConfig) -> SLAMResult:
 
 
 def main(argv=None) -> int:
+    from simpleslam_tpu.utils.platform import respect_platform_env
+    respect_platform_env()
     cfg = parse_config(argv)
     run(cfg)
     return 0

@@ -337,6 +337,8 @@ def cmd_ba(a) -> int:
 
 
 def main(argv=None) -> int:
+    from simpleslam_tpu.utils.platform import respect_platform_env
+    respect_platform_env()
     p = argparse.ArgumentParser("diagnose")
     sub = p.add_subparsers(dest="cmd", required=True)
     spd = sub.add_parser("desc")

@@ -163,6 +163,8 @@ def run_eval(image_glob=DEFAULT_GLOB, n_images=8, warps=2, hw=None,
 
 
 def main(argv=None) -> int:
+    from simpleslam_tpu.utils.platform import respect_platform_env
+    respect_platform_env()
     p = argparse.ArgumentParser("real_eval")
     p.add_argument("--glob", default=DEFAULT_GLOB)
     p.add_argument("--n", type=int, default=8)

@@ -48,8 +48,42 @@ def make_trajectory(n_frames: int, speed: float = 0.5,
     return np.stack(out)
 
 
+_JTEX = None
+
+
+def _jax_tex():
+    """Jitted texture evaluator (11x the numpy path: XLA fuses the
+    (H, W, n_waves) sin/exp/mul chain and vectorizes the transcendentals).
+    Lazily built; callers fall back to numpy if jax/cpu is unavailable."""
+    global _JTEX
+    if _JTEX is None:
+        import jax
+        import jax.numpy as jnp
+
+        def f(p, fpx, smear, k, phase, amp, knorm):
+            v = jnp.tensordot(p, k.T, axes=1) + phase
+            q = (0.5 * fpx[..., None] * knorm) ** 2
+            q = q + jnp.tensordot(smear, k.T, axes=1) ** 2
+            a = amp * jnp.exp(-0.5 * q)
+            s = (jnp.sin(v) * a).sum(-1)
+            return 127.5 + 120.0 * jnp.clip(s * 2.2, -1, 1)
+
+        _JTEX = jax.jit(f)
+    return _JTEX
+
+
 class ProceduralTexture:
-    """Fixed random sum-of-sinusoids over R^3 -> [0, 255] intensity."""
+    """Fixed random sum-of-sinusoids over R^3 -> [0, 255] intensity.
+
+    Anti-aliased: pass ``footprint`` (per-point world-space pixel size in
+    meters, ~ depth / focal) and each wave is attenuated by the Gaussian
+    pixel-integration factor exp(-0.5 (sigma |k|)^2), sigma = footprint/2 —
+    the closed-form supersample of a sinusoid. Without it, the 2-8 cycle/m
+    waves alias into high-contrast noise wherever one pixel spans more than
+    half a period (depth > ~44 m at KITTI focal): the detector then dumps
+    its keypoint budget on unstable far-field junk, which measurably
+    destabilized long soaks (weak-inlier stretches whenever deep corridor
+    dominated the view)."""
 
     def __init__(self, seed: int = 0, n_waves: int = 48):
         rng = np.random.default_rng(seed)
@@ -59,15 +93,65 @@ class ProceduralTexture:
         freqs = np.concatenate([rng.uniform(0.3, 1.5, n_waves // 2),
                                 rng.uniform(2.0, 8.0, n_waves - n_waves // 2)])
         self.k = d * freqs[:, None] * 2 * np.pi
+        self.knorm = freqs * 2 * np.pi                 # |k| rad/meter
         self.phase = rng.uniform(0, 2 * np.pi, n_waves)
         amps = 1.0 / np.sqrt(freqs)
         self.amp = amps / amps.sum()
+        self.k32 = self.k.astype(np.float32)
+        self.knorm32 = self.knorm.astype(np.float32)
+        self.phase32 = self.phase.astype(np.float32)
+        self.amp32 = self.amp.astype(np.float32)
 
-    def __call__(self, p: np.ndarray) -> np.ndarray:
-        """p: (..., 3) world points -> (...,) intensity [0, 255]."""
-        v = np.tensordot(p, self.k.T, axes=1) + self.phase   # (..., W)
-        s = (np.sin(v) * self.amp).sum(-1)                    # ~[-1, 1]
-        return (127.5 + 120.0 * np.clip(s * 2.2, -1, 1)).astype(np.float32)
+    def __call__(self, p: np.ndarray, footprint=None,
+                 smear_vec=None) -> np.ndarray:
+        """p: (..., 3) world points -> (...,) intensity [0, 255].
+
+        ``footprint``: isotropic in-surface pixel size (meters). Optional
+        ``smear_vec`` (..., 3): ADDITIONAL anisotropic smear (EWA-style) —
+        the world-space major half-axis of the pixel's surface ellipse at
+        grazing incidence. Each wave is attenuated by
+        exp(-0.5 [sigma_iso^2 |k|^2 + (k . smear_vec)^2]), so texture
+        perpendicular to the smear survives (a real camera sees stripes on
+        a grazing wall, not uniform blur — and trackers need them).
+
+        float32 throughout — the (H, W, n_waves) sin/exp grids dominate
+        render time and f64 doubles it for no visible difference."""
+        p32 = np.asarray(p, np.float32)
+        if footprint is not None and smear_vec is not None:
+            try:
+                import jax
+
+                # only when the process explicitly runs the cpu platform:
+                # on this machine sitecustomize pins an experimental TPU
+                # platform, and jax.devices("cpu") would try to initialize
+                # it (and hang if the tunnel is down) — numpy is the safe
+                # default everywhere else
+                if "cpu" not in (jax.config.jax_platforms or ""):
+                    raise RuntimeError("non-cpu jax platform")
+                cpu = jax.devices("cpu")[0]
+
+                def put(x):
+                    return jax.device_put(np.asarray(x, np.float32), cpu)
+
+                out = _jax_tex()(put(p32), put(footprint), put(smear_vec),
+                                 put(self.k32), put(self.phase32),
+                                 put(self.amp32), put(self.knorm32))
+                return np.asarray(out)
+            except Exception:
+                pass                       # no jax / no cpu backend: numpy
+        v = np.tensordot(p32, self.k32.T, axes=1) + self.phase32
+        if footprint is not None:
+            sig = 0.5 * np.asarray(footprint, np.float32)[..., None]
+            q = (sig * self.knorm32) ** 2
+            if smear_vec is not None:
+                ks = np.tensordot(np.asarray(smear_vec, np.float32),
+                                  self.k32.T, axes=1)
+                q = q + ks ** 2
+            amp = self.amp32 * np.exp(-0.5 * q)
+            s = (np.sin(v) * amp).sum(-1)                     # ~[-1, 1]
+        else:
+            s = np.sin(v) @ self.amp32
+        return 127.5 + 120.0 * np.clip(s * 2.2, -1, 1)
 
 
 class CorridorScene:
@@ -107,15 +191,28 @@ class CorridorScene:
 
         t_best = np.full((H, W), np.inf)
         hit = np.zeros((H, W, 3))
+        smear = np.zeros((H, W, 3), np.float32)
+        inv_f = 1.0 / float(self.K[0, 0])
 
         def plane(axis: int, value: float, sign_cond):
-            nonlocal t_best, hit
+            nonlocal t_best, hit, smear
             denom = d[..., axis]
             t = (value - C[axis]) / np.where(np.abs(denom) < eps, eps, denom)
             ok = (t > 0.2) & sign_cond(denom) & (t < t_best)
             p = C[None, None, :] + t[..., None] * d
             t_best = np.where(ok, t, t_best)
             hit = np.where(ok[..., None], p, hit)
+            # anisotropic pixel footprint on this plane: the major half-axis
+            # the surface ellipse is 0.5 (t/f) tan(incidence) along the
+            # in-plane ray direction = 0.5 (t/f) d_perp / |d.n| (rays are
+            # unit, so |d.axis| is the cosine vs the axis-aligned normal)
+            d_perp = d.copy()
+            d_perp[..., axis] = 0.0
+            s_vec = (0.5 * inv_f * t / np.maximum(np.abs(denom), 1e-3)
+                     )[..., None] * d_perp
+            mag = np.linalg.norm(s_vec, axis=-1, keepdims=True)
+            s_vec = s_vec * (np.minimum(mag, 25.0) / np.maximum(mag, 1e-12))
+            smear = np.where(ok[..., None], s_vec.astype(np.float32), smear)
 
         # ALL planes are STATIC world geometry — scenery anchored to the
         # camera would be inconsistent across views and poison stereo /
@@ -134,7 +231,11 @@ class CorridorScene:
         far_z = np.floor(C[2] / 10.0) * 10.0 + 200.0
         plane(2, far_z, lambda dn: dn > 0)
 
-        img = self.tex(hit)
+        # per-pixel texture anti-aliasing: isotropic footprint depth/focal
+        # (pixels are ~1/f radians wide) + the anisotropic grazing smear
+        # collected per plane above
+        fpx = np.clip(t_best, 0.0, 1e4) / float(self.K[0, 0])
+        img = self.tex(hit, footprint=fpx, smear_vec=smear)
         # mild distance shading for realism
         shade = 1.0 / (1.0 + 0.004 * np.clip(t_best, 0, 200))
         out = np.clip(img * shade, 0, 255).astype(np.uint8)
@@ -191,10 +292,27 @@ class BoxScene:
         rays = np.stack([u, v, np.ones_like(u)], -1) @ Kinv.T
         self._rays_cam = rays / np.linalg.norm(rays, axis=-1, keepdims=True)
 
-    def _texture(self, p: np.ndarray) -> np.ndarray:
-        smooth = self.tex(p)                                   # [0, 255]
-        v = np.tensordot(p, self._sq_k.T, axes=1) + self._sq_phase
-        sq = np.sign(np.sin(v)).mean(-1)                       # ~[-1, 1]
+    def _texture(self, p: np.ndarray, footprint=None,
+                 smear_vec=None) -> np.ndarray:
+        smooth = self.tex(p, footprint=footprint, smear_vec=smear_vec)
+        p32 = np.asarray(p, np.float32)
+        sqk = self._sq_k.astype(np.float32)
+        v = np.tensordot(p32, sqk.T, axes=1) + \
+            self._sq_phase.astype(np.float32)
+        sq = np.sign(np.sin(v))                                # ~[-1, 1]
+        if footprint is not None:
+            # attenuate each square wave by the pixel-footprint Gaussian on
+            # its fundamental (harmonics are strictly smaller — bound, not
+            # exact; keeps the hard edges sharp only where resolvable)
+            sig = 0.5 * np.asarray(footprint, np.float32)[..., None]
+            knorm = np.linalg.norm(sqk, axis=1)
+            q = (sig * knorm) ** 2
+            if smear_vec is not None:
+                ks = np.tensordot(np.asarray(smear_vec, np.float32),
+                                  sqk.T, axes=1)
+                q = q + ks ** 2
+            sq = sq * np.exp(-0.5 * q)
+        sq = sq.mean(-1)
         return np.clip(0.6 * smooth + 0.4 * (127.5 + 120.0 * sq), 0, 255)
 
     def render(self, T_wc: np.ndarray) -> np.ndarray:
@@ -209,23 +327,46 @@ class BoxScene:
         dn = np.where(np.abs(d) < eps, eps, d)
 
         t_best = np.full((H, W), np.inf)
+        smear = np.zeros((H, W, 3), np.float32)
+        inv_f = 1.0 / float(self.K[0, 0])
+
+        def _smear_for(axis_arr, t):
+            # anisotropic half-axis 0.5 (t/f) d_perp / |d.n| (see
+            # CorridorScene.render_with_geometry)
+            cosi = np.abs(np.take_along_axis(d, axis_arr[..., None],
+                                             -1))[..., 0]
+            d_perp = d.copy()
+            np.put_along_axis(d_perp, axis_arr[..., None], 0.0, -1)
+            s = (0.5 * inv_f * t / np.maximum(cosi, 1e-3))[..., None] * d_perp
+            mag = np.linalg.norm(s, axis=-1, keepdims=True)
+            return (s * (np.minimum(mag, 25.0) / np.maximum(mag, 1e-12))
+                    ).astype(np.float32)
+
         # ground plane (re-anchored never needed: infinite plane)
         tg = (self.ground_y - C[1]) / dn[..., 1]
         okg = (tg > 0.2) & (d[..., 1] > 0)
         t_best = np.where(okg, tg, t_best)
+        ax_g = np.ones((H, W), np.intp)
+        smear = np.where(okg[..., None], _smear_for(ax_g, tg), smear)
         # boxes: slab test, vectorized per box
         for lo, hi in self._boxes:
             t1 = (lo[None, None, :] - C[None, None, :]) / dn
             t2 = (hi[None, None, :] - C[None, None, :]) / dn
-            tn = np.minimum(t1, t2).max(-1)
+            tmin = np.minimum(t1, t2)
+            tn = tmin.max(-1)
             tf = np.maximum(t1, t2).min(-1)
             ok = (tn < tf) & (tf > 0.2) & (tn > 0.2) & (tn < t_best)
             t_best = np.where(ok, tn, t_best)
+            face = tmin.argmax(-1)          # entry face axis
+            smear = np.where(ok[..., None], _smear_for(face, tn), smear)
 
         hitmask = np.isfinite(t_best)
         t_safe = np.where(hitmask, t_best, 0.0)
         hit = C[None, None, :] + t_safe[..., None] * d
-        img = np.where(hitmask, self._texture(hit), 230.0)     # flat sky
+        fpx = t_safe / float(self.K[0, 0])
+        img = np.where(hitmask,
+                       self._texture(hit, footprint=fpx, smear_vec=smear),
+                       230.0)                                  # flat sky
         shade = 1.0 / (1.0 + 0.004 * np.clip(t_safe, 0, 200))
         out = np.clip(img * np.where(hitmask, shade, 1.0), 0,
                       255).astype(np.uint8)
@@ -248,7 +389,16 @@ def generate_kitti_sequence(out_dir: str, n_frames: int = 60, seed: int = 0,
     import cv2
 
     T_wc = make_trajectory(n_frames, speed=speed, yaw_rate_deg=yaw_rate_deg)
-    scene = SCENE_FAMILIES[scene](seed=seed, hw=hw)
+    # scale the KITTI intrinsics to the render size exactly the way the
+    # data layer rescales the hard-coded calibration to non-native frames
+    # (data/dataloader.py Sequence._rescale_calib_to_frames) — fixture and
+    # driver then agree on the camera at ANY hw, and low-res fixtures keep
+    # KITTI's wide FOV (near-field texture) instead of becoming telescopes
+    H, W = hw
+    Ks = DEFAULT_K.copy()
+    Ks[0] *= W / DEFAULT_HW[1]
+    Ks[1] *= H / DEFAULT_HW[0]
+    scene = SCENE_FAMILIES[scene](seed=seed, hw=hw, K=Ks)
 
     img_dir = os.path.join(out_dir, "kitti", "05", "image_0")
     pose_dir = os.path.join(out_dir, "kitti", "poses")
@@ -264,6 +414,8 @@ def generate_kitti_sequence(out_dir: str, n_frames: int = 60, seed: int = 0,
 
 
 def main(argv=None) -> int:
+    from simpleslam_tpu.utils.platform import respect_platform_env
+    respect_platform_env()
     p = argparse.ArgumentParser("synth")
     p.add_argument("--out", required=True)
     p.add_argument("--frames", type=int, default=60)
