@@ -53,9 +53,12 @@ def test_relocalize_recovers_kf_pose(bootstrapped):
     assert ok
     T_rec = system.world_map.poses[-1]
     assert len(system.world_map.poses) == n_poses + 1
-    # recovered the keyframe's pose, not the bad prediction
+    # recovered the keyframe's pose, not the bad prediction (the 6-m-off
+    # guess). Bound reflects the low-res fixture's PnP precision: measured
+    # 7 cm on the anti-aliased render (was 2 cm on the old aliased one,
+    # whose fake far-field corners over-constrained PnP).
     err_t = np.linalg.norm(T_rec[:3, 3] - T_kf[:3, 3])
-    assert err_t < 0.05
+    assert err_t < 0.15
     err_bad = np.linalg.norm(T_rec[:3, 3] - T_bad[:3, 3])
     assert err_bad > 1.0
 
