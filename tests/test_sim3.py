@@ -1,0 +1,149 @@
+"""Sim(3) group ops + 3D-3D alignment (ops/sim3.py).
+
+Loop closure / pose-graph foundation — beyond reference parity (the
+reference lists loop closure as future work, README.md:317)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpleslam_tpu.ops import sim3
+
+
+def _random_sim3(rng, scale_lo=0.5, scale_hi=2.0):
+    w = rng.normal(size=3)
+    w = w / np.linalg.norm(w) * rng.uniform(0, 2.5)
+    from simpleslam_tpu.ops import se3
+    R = np.asarray(se3.so3_exp(jnp.asarray(w, jnp.float64)))
+    t = rng.normal(size=3) * 3.0
+    s = rng.uniform(scale_lo, scale_hi)
+    return sim3.Sim3(R=jnp.asarray(R), t=jnp.asarray(t), s=jnp.asarray(s))
+
+
+def test_exp_log_roundtrip_generic():
+    rng = np.random.default_rng(0)
+    xi = jnp.asarray(rng.normal(size=(64, 7)) * np.array(
+        [2.0, 2.0, 2.0, 0.8, 0.8, 0.8, 0.4]), jnp.float64)
+    S = sim3.exp(xi)
+    xi2 = sim3.log(S)
+    np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("theta_mag,sigma_mag", [
+    (1e-9, 1e-9), (1e-9, 0.5), (1.2, 1e-9), (1.2, 0.5), (3.0, 1.0),
+    (1e-5, 1e-5), (1e-5, 0.7), (0.9, 1e-5),
+])
+def test_exp_log_roundtrip_corner_cases(theta_mag, sigma_mag):
+    rng = np.random.default_rng(1)
+    phi = rng.normal(size=3)
+    phi = phi / np.linalg.norm(phi) * theta_mag
+    xi = np.concatenate([rng.normal(size=3), phi, [sigma_mag]])
+    S = sim3.exp(jnp.asarray(xi, jnp.float64))
+    xi2 = np.asarray(sim3.log(S))
+    np.testing.assert_allclose(xi2, xi, rtol=1e-5, atol=1e-7)
+
+
+def test_exp_matches_matrix_exponential():
+    # sim3.exp of the 4x4 Lie-algebra matrix must equal to_matrix(exp(xi))
+    from scipy.linalg import expm
+    rng = np.random.default_rng(2)
+    xi = rng.normal(size=7) * 0.7
+    rho, phi, sigma = xi[:3], xi[3:6], xi[6]
+    A = np.zeros((4, 4))
+    A[:3, :3] = np.array([[sigma, -phi[2], phi[1]],
+                          [phi[2], sigma, -phi[0]],
+                          [-phi[1], phi[0], sigma]])
+    A[:3, 3] = rho
+    M_ref = expm(A)
+    M = np.asarray(sim3.to_matrix(sim3.exp(jnp.asarray(xi, jnp.float64))))
+    np.testing.assert_allclose(M, M_ref, rtol=1e-6, atol=1e-7)
+
+
+def test_compose_inverse_identity_and_act():
+    rng = np.random.default_rng(3)
+    A = _random_sim3(rng)
+    B = _random_sim3(rng)
+    X = jnp.asarray(rng.normal(size=(10, 3)), jnp.float64)
+    # (A o B) . X == A . (B . X)   (f32: x64 stays disabled in the suite)
+    np.testing.assert_allclose(
+        np.asarray(sim3.act(sim3.compose(A, B), X)),
+        np.asarray(sim3.act(A, sim3.act(B, X))), rtol=2e-5, atol=1e-5)
+    # A o A^-1 == identity
+    I = sim3.compose(A, sim3.inverse(A))
+    np.testing.assert_allclose(np.asarray(I.R), np.eye(3), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(I.t), 0.0, atol=1e-5)
+    np.testing.assert_allclose(float(I.s), 1.0, atol=1e-9)
+    # matrix action agrees
+    M = np.asarray(sim3.to_matrix(A))
+    Xh = np.concatenate([np.asarray(X), np.ones((10, 1))], 1)
+    np.testing.assert_allclose(np.asarray(sim3.act(A, X)),
+                               (Xh @ M.T)[:, :3], rtol=1e-6, atol=1e-8)
+
+
+def test_to_se3_normalizes_scale():
+    rng = np.random.default_rng(4)
+    S = _random_sim3(rng)
+    T = np.asarray(sim3.to_se3(S))
+    # rotation preserved, translation divided by s, camera center preserved:
+    # C = -R^T t / s for Sim3 cam-from-world
+    np.testing.assert_allclose(T[:3, :3], np.asarray(S.R), atol=1e-7)
+    np.testing.assert_allclose(T[:3, 3],
+                               np.asarray(S.t) / float(S.s), atol=1e-7)
+
+
+def test_umeyama_exact_recovery():
+    rng = np.random.default_rng(5)
+    S_gt = _random_sim3(rng)
+    X = jnp.asarray(rng.normal(size=(40, 3)) * 2.0, jnp.float64)
+    Y = sim3.act(S_gt, X)
+    w = jnp.ones(40)
+    S = sim3.umeyama(X, Y, w)
+    np.testing.assert_allclose(np.asarray(S.R), np.asarray(S_gt.R), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(S.t), np.asarray(S_gt.t), atol=1e-6)
+    np.testing.assert_allclose(float(S.s), float(S_gt.s), rtol=1e-6)
+
+
+def test_umeyama_weighted_ignores_outliers():
+    rng = np.random.default_rng(6)
+    S_gt = _random_sim3(rng)
+    X = jnp.asarray(rng.normal(size=(50, 3)) * 2.0, jnp.float64)
+    Y = np.array(sim3.act(S_gt, X))
+    Y[40:] += rng.normal(size=(10, 3)) * 20.0        # corrupted tail
+    w = jnp.asarray(np.r_[np.ones(40), np.zeros(10)])
+    S = sim3.umeyama(X, jnp.asarray(Y), w)
+    np.testing.assert_allclose(np.asarray(S.R), np.asarray(S_gt.R), atol=1e-6)
+    np.testing.assert_allclose(float(S.s), float(S_gt.s), rtol=1e-6)
+
+
+def test_sim3_ransac_with_outliers():
+    rng = np.random.default_rng(7)
+    S_gt = _random_sim3(rng)
+    N = 128
+    X = rng.normal(size=(N, 3)) * 3.0
+    Y = np.array(sim3.act(S_gt, jnp.asarray(X)))
+    Y += rng.normal(size=(N, 3)) * 0.01              # inlier noise
+    out = rng.random(N) < 0.35                        # 35% outliers
+    Y[out] += rng.normal(size=(out.sum(), 3)) * 8.0
+    valid = np.ones(N, bool)
+    valid[-8:] = False                                # padded tail
+    S, inl, n_inl, ok = sim3.sim3_ransac_3d3d(
+        jax.random.PRNGKey(0), jnp.asarray(X, jnp.float32),
+        jnp.asarray(Y, jnp.float32), jnp.asarray(valid), 0.15, n_hyp=256)
+    assert bool(ok)
+    inl = np.asarray(inl)
+    # all found inliers are true inliers; most true inliers found
+    true_inl = (~out) & valid
+    assert (inl & ~true_inl).sum() <= 2
+    assert inl.sum() >= 0.85 * true_inl.sum()
+    np.testing.assert_allclose(float(S.s), float(S_gt.s), rtol=0.02)
+    np.testing.assert_allclose(np.asarray(S.R), np.asarray(S_gt.R), atol=0.02)
+
+
+def test_sim3_ransac_too_few_points():
+    X = jnp.zeros((16, 3))
+    Y = jnp.zeros((16, 3))
+    valid = jnp.zeros(16, bool).at[0].set(True).at[1].set(True)
+    _S, _inl, _n, ok = sim3.sim3_ransac_3d3d(
+        jax.random.PRNGKey(0), X, Y, valid, 0.1, n_hyp=32)
+    assert not bool(ok)
