@@ -103,6 +103,19 @@ class SLAMConfig:
                                            # (0 => 4096); smaller = faster KFs
     map_evict_age: int = 50                # fused map: evict landmarks unseen
                                            # this many frames when near capacity
+    # ---- loop closure + pose-graph optimization (beyond reference: the
+    # reference lists both as FUTURE WORK, README.md:317 / main_revamped.py:501)
+    loop_closure: bool = False             # enable loop detection + Sim3 PGO
+    loop_min_sim: float = 0.70             # pooled-descriptor cosine gate
+    loop_gap_kfs: int = 15                 # skip the most recent N keyframes
+    loop_min_inliers: int = 25             # Sim3-RANSAC inlier acceptance gate
+    loop_ransac_thresh: float = 0.10       # RANSAC threshold as a fraction of
+                                           # the median candidate scene depth
+                                           # (monocular scale is arbitrary)
+    loop_weight: float = 4.0               # loop-edge weight in the pose graph
+    loop_grid: int = 4                     # G x G descriptor pooling grid
+    loop_topk: int = 2                     # candidates to geometric-verify
+    loop_pgo_iters: int = 25               # LM iterations for the pose graph
     trace_dir: str = ""                    # jax profiler trace output dir
     prefetch: int = 1                      # threaded frame prefetch depth (0=off)
     save_state: str = ""                   # serialize pipeline state here at end/SIGINT
@@ -249,6 +262,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "keyframes (doubled baseline doubles the parallax-"
                         "gate pass rate under forward motion; new points "
                         "deduped per current-frame keypoint)")
+    g.add_argument("--loop_closure", action="store_true",
+                   help="Enable loop closure: pooled-descriptor place "
+                        "recognition + Sim3 RANSAC verification + Sim(3) "
+                        "pose-graph optimization (reference future work)")
+    g.add_argument("--loop_min_sim", type=float, default=d.loop_min_sim)
+    g.add_argument("--loop_gap_kfs", type=int, default=d.loop_gap_kfs)
+    g.add_argument("--loop_min_inliers", type=int, default=d.loop_min_inliers)
+    g.add_argument("--loop_ransac_thresh", type=float,
+                   default=d.loop_ransac_thresh)
+    g.add_argument("--loop_weight", type=float, default=d.loop_weight)
+    g.add_argument("--loop_grid", type=int, default=d.loop_grid)
+    g.add_argument("--loop_topk", type=int, default=d.loop_topk)
+    g.add_argument("--loop_pgo_iters", type=int, default=d.loop_pgo_iters)
     g.add_argument("--trace_dir", default=d.trace_dir,
                    help="Write a jax profiler trace here (open with xprof)")
     g.add_argument("--prefetch", type=int, default=d.prefetch,

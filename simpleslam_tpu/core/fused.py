@@ -68,6 +68,7 @@ _INF = jnp.float32(1e9)
 # (tests/test_fused.py) and for reproducible runs in general.
 SITE_PNP, SITE_PREV_MATCH, SITE_ESS, SITE_RELOC = 0, 1, 2, 3
 SITE_KF_MATCH, SITE_KF_MATCH2 = 4, 5
+SITE_LOOP = 6
 
 
 def frame_key(base: jax.Array, frame_no, site: int) -> jax.Array:

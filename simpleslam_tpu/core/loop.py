@@ -1,0 +1,343 @@
+"""Loop closure: place recognition -> Sim(3) verification -> pose-graph
+correction.
+
+Beyond reference parity: the reference lists BOTH loop closure and pose-graph
+optimization as future work (reference: README.md:317,
+slam/monocular/main_revamped.py:501 "trigger relocalization here in the
+future"). This module is the TPU-native implementation:
+
+  * Place recognition: each keyframe gets a pooled-descriptor place vector
+    (a G x G spatial grid of L2-normalized mean descriptors — a
+    static-shape, one-matmul stand-in for a BoW vocabulary; the pooling runs
+    as one jitted program). Candidates = top-k cosine similarity against all
+    keyframes older than ``loop_gap_kfs``.
+  * Geometric verification: descriptor matching between the two keyframes,
+    lifted to 3D-3D landmark correspondences (each side expressed in its OWN
+    camera frame, so monocular drift between the two map regions is exactly
+    what the estimator sees), robustly fit with the batched Sim(3) RANSAC
+    (ops/sim3.sim3_ransac_3d3d). Sim(3), not SE(3): monocular VO drifts in
+    scale (Strasdat's scale-drift-aware formulation).
+  * Correction: one Sim(3) pose-graph LM solve over all keyframes
+    (ops/pgo.pgo_solve — a single jitted program, padded to pow2 node count
+    so repeated closures reuse the compiled solver), then the whole map is
+    rewritten: keyframe poses, every landmark (anchored to its first
+    observing keyframe), and all per-frame trajectory poses (anchored to the
+    preceding keyframe, translation rescaled by the anchor's scale
+    correction).
+
+Everything hot is jitted + static-shape; the host side is only candidate
+bookkeeping and the (rare, out-of-hot-loop) map rewrite.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpleslam_tpu.core import frontend
+from simpleslam_tpu.core.keyframe import Keyframe
+from simpleslam_tpu.core.map import Map
+from simpleslam_tpu.ops import pgo, sim3
+
+logger = logging.getLogger("loop")
+
+
+# --------------------------------------------------------------------------- #
+# Place recognition: pooled-descriptor place vectors
+# --------------------------------------------------------------------------- #
+
+@partial(jax.jit, static_argnames=("grid",))
+def _pool_place_vector(kpts: jax.Array, desc: jax.Array, valid: jax.Array,
+                       wh: jax.Array, *, grid: int) -> jax.Array:
+    """(G*G*D,) pooled place vector: per-cell mean descriptor, cell- and
+    globally L2-normalized. One (G2, N) @ (N, D) matmul — MXU-friendly."""
+    G = grid
+    cx = jnp.clip((kpts[:, 0] / wh[0] * G).astype(jnp.int32), 0, G - 1)
+    cy = jnp.clip((kpts[:, 1] / wh[1] * G).astype(jnp.int32), 0, G - 1)
+    cell = cy * G + cx
+    oh = ((cell[:, None] == jnp.arange(G * G)[None, :]) & valid[:, None])
+    ohf = oh.astype(jnp.float32)
+    sums = ohf.T @ desc.astype(jnp.float32)                   # (G2, D)
+    cnt = jnp.maximum(jnp.sum(ohf, axis=0), 1.0)[:, None]
+    cv = sums / cnt
+    cv = cv / (jnp.linalg.norm(cv, axis=1, keepdims=True) + 1e-8)
+    v = cv.reshape(-1)
+    return v / (jnp.linalg.norm(v) + 1e-8)
+
+
+def place_vector(feats, img_hw: Tuple[int, int], grid: int) -> np.ndarray:
+    """Host wrapper: unpack binary descriptors to bits, pool on device."""
+    desc = np.asarray(feats.desc)
+    if desc.dtype == np.uint8:
+        desc = np.unpackbits(desc, axis=1).astype(np.float32)
+    H, W = int(img_hw[0]), int(img_hw[1])
+    v = _pool_place_vector(feats.kpts, jnp.asarray(desc, jnp.float32),
+                           feats.valid,
+                           jnp.asarray([W, H], jnp.float32), grid=grid)
+    return np.asarray(v)
+
+
+# --------------------------------------------------------------------------- #
+# Result record
+# --------------------------------------------------------------------------- #
+
+@dataclass
+class LoopClosure:
+    """One accepted loop closure (for logs/tests)."""
+    cur_kf: int                 # newest keyframe (sequence id)
+    cand_kf: int                # matched past keyframe
+    similarity: float           # place-vector cosine similarity
+    n_inliers: int              # Sim3-RANSAC inliers
+    scale: float                # measured relative scale s (drift indicator)
+    cost_before: float          # PGO robust cost before/after
+    cost_after: float
+    max_pose_delta: float       # largest KF camera-center move applied (m)
+
+
+# --------------------------------------------------------------------------- #
+# LoopCloser
+# --------------------------------------------------------------------------- #
+
+class LoopCloser:
+    """Detect-and-close driver component. One instance per SLAM run."""
+
+    def __init__(self, cfg, K: np.ndarray, matcher):
+        self.cfg = cfg
+        self.K = np.asarray(K, np.float64)
+        self.matcher = matcher
+        self._vecs: List[np.ndarray] = []       # aligned with the kfs list
+        self._cooldown_until = -1               # KF id; skip detection until
+        self.closures: List[LoopClosure] = []
+
+    # ------------------------------------------------------------- detection
+    def _ingest(self, kfs: List[Keyframe], img_hw) -> None:
+        while len(self._vecs) < len(kfs):
+            kf = kfs[len(self._vecs)]
+            self._vecs.append(
+                place_vector(kf.feats, img_hw, self.cfg.loop_grid))
+
+    def detect(self, kfs: List[Keyframe], img_hw) -> List[Tuple[int, float]]:
+        """Candidate (kf_idx, similarity) list for the NEWEST keyframe."""
+        self._ingest(kfs, img_hw)
+        cur = len(kfs) - 1
+        gap = int(self.cfg.loop_gap_kfs)
+        if cur < gap + 1 or cur <= self._cooldown_until:
+            return []
+        vec = self._vecs[cur]
+        past = np.stack(self._vecs[:cur - gap])
+        sims = past @ vec
+        order = np.argsort(-sims)[: int(self.cfg.loop_topk)]
+        return [(int(i), float(sims[i])) for i in order
+                if sims[i] >= self.cfg.loop_min_sim]
+
+    # ---------------------------------------------------------- verification
+    @staticmethod
+    def _kp2pid(world_map: Map, kf_idx: int) -> Dict[int, int]:
+        """kp index -> landmark id for one keyframe, from the observation
+        lists (reference obs tuples are (kf_idx, kp_idx, desc),
+        landmark_utils.py:46-74)."""
+        out: Dict[int, int] = {}
+        for pid in world_map.points:
+            for (k, kp, _d) in world_map.points[pid].observations:
+                if k == kf_idx:
+                    out[int(kp)] = pid
+        return out
+
+    def verify(self, kfs: List[Keyframe], world_map: Map, cur: int,
+               cand: int, key) -> Optional[Tuple[sim3.Sim3, int, float]]:
+        """Geometric verification: returns (S_cur_from_cand, n_inliers,
+        median candidate depth) or None.
+
+        The Sim3 acts on CAMERA-frame points: S . X_cand_cam ~= X_cur_cam,
+        i.e. the measured relative similarity between the two keyframe
+        cameras — exactly the pose-graph edge ``M_ij = S_iw o S_jw^-1`` with
+        i=cur, j=cand.
+        """
+        cfg = self.cfg
+        kfc, kfq = kfs[cand], kfs[cur]
+        m = frontend.feature_matcher(cfg, kfc.feats, kfq.feats, self.matcher)
+        map_c = self._kp2pid(world_map, cand)
+        map_q = self._kp2pid(world_map, cur)
+        i0 = np.asarray(m.idx0)
+        i1 = np.asarray(m.idx1)
+        mv = np.asarray(m.valid)
+        Xw_c, Xw_q = [], []
+        for a, b, v in zip(i0, i1, mv):
+            if not v:
+                continue
+            pc = map_c.get(int(a))
+            pq = map_q.get(int(b))
+            if pc is None or pq is None or pc == pq:
+                # pc == pq: the map already links the two views of this
+                # landmark — a zero-information constraint that would bias
+                # the fit toward the current (drifted) relative pose
+                continue
+            Xw_c.append(np.asarray(world_map.points[pc].position, np.float64))
+            Xw_q.append(np.asarray(world_map.points[pq].position, np.float64))
+        n = len(Xw_c)
+        if n < max(3, int(cfg.loop_min_inliers)):
+            logger.debug("[LOOP] cand %d: only %d 3D-3D pairs", cand, n)
+            return None
+
+        Tc = np.asarray(kfc.pose, np.float64)
+        Tq = np.asarray(kfq.pose, np.float64)
+        Xc = (Tc[:3, :3] @ np.asarray(Xw_c).T).T + Tc[:3, 3]
+        Xq = (Tq[:3, :3] @ np.asarray(Xw_q).T).T + Tq[:3, 3]
+        depth = float(np.median(Xc[:, 2]))
+        thresh = float(cfg.loop_ransac_thresh) * max(abs(depth), 1e-3)
+
+        cap = 1 << (max(n, 64) - 1).bit_length()         # pow2 pad: jit reuse
+        Xc_p = np.zeros((cap, 3), np.float32)
+        Xq_p = np.zeros((cap, 3), np.float32)
+        val = np.zeros((cap,), bool)
+        Xc_p[:n], Xq_p[:n], val[:n] = Xc, Xq, True
+        S, _inl, n_inl, ok = sim3.sim3_ransac_3d3d(
+            key, jnp.asarray(Xc_p), jnp.asarray(Xq_p), jnp.asarray(val),
+            thresh, n_hyp=int(getattr(cfg, "ransac_hypotheses", 256)))
+        n_inl = int(n_inl)
+        if not bool(ok) or n_inl < int(cfg.loop_min_inliers):
+            logger.info("[LOOP] cand %d rejected (%d/%d inliers)",
+                        cand, n_inl, n)
+            return None
+        return S, n_inl, depth
+
+    # ------------------------------------------------------------ correction
+    def close(self, kfs: List[Keyframe], world_map: Map, cur: int, cand: int,
+              S_meas: sim3.Sim3) -> Tuple[float, float, float]:
+        """Pose-graph solve + full map rewrite.
+
+        Returns (cost_before, cost_after, max_kf_center_delta_m).
+        """
+        cfg = self.cfg
+        K = len(kfs)
+        Kp = 1 << (max(K, 8) - 1).bit_length()       # pow2 node pad
+
+        Told = np.stack([np.asarray(kf.pose, np.float64) for kf in kfs])
+        R0 = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))
+        t0 = np.zeros((Kp, 3), np.float32)
+        s0 = np.ones((Kp,), np.float32)
+        R0[:K] = Told[:, :3, :3]
+        t0[:K] = Told[:, :3, 3]
+        nodes = sim3.Sim3(R=jnp.asarray(R0), t=jnp.asarray(t0),
+                          s=jnp.asarray(s0))
+
+        # edges: odometry chain over live nodes + ONE loop edge, padded
+        Ep = Kp + 8
+        ei = np.zeros((Ep,), np.int32)
+        ej = np.zeros((Ep,), np.int32)
+        ev = np.zeros((Ep,), bool)
+        ew = np.ones((Ep,), np.float32)
+        ei[:K - 1] = np.arange(1, K)
+        ej[:K - 1] = np.arange(0, K - 1)
+        ev[:K - 1] = True
+        ei[K - 1] = cur
+        ej[K - 1] = cand
+        ev[K - 1] = True
+        ew[K - 1] = float(cfg.loop_weight)
+
+        live = jax.tree.map(lambda a: a[:K], nodes)
+        _si, _sj, meas_seq = pgo.sequential_edges(live)       # (K-1,) edges
+        mR = np.tile(np.eye(3, dtype=np.float32), (Ep, 1, 1))
+        mt = np.zeros((Ep, 3), np.float32)
+        ms = np.ones((Ep,), np.float32)
+        mR[:K - 1] = np.asarray(meas_seq.R)
+        mt[:K - 1] = np.asarray(meas_seq.t)
+        ms[:K - 1] = np.asarray(meas_seq.s)
+        mR[K - 1] = np.asarray(S_meas.R)
+        mt[K - 1] = np.asarray(S_meas.t)
+        ms[K - 1] = float(np.asarray(S_meas.s))
+        meas = sim3.Sim3(R=jnp.asarray(mR), t=jnp.asarray(mt),
+                         s=jnp.asarray(ms))
+
+        free = np.zeros((Kp,), bool)
+        free[1:K] = True                              # node 0 pins the gauge
+
+        problem = pgo.PGOProblem(
+            nodes=nodes, edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            meas=meas, e_valid=jnp.asarray(ev), e_weight=jnp.asarray(ew),
+            node_free=jnp.asarray(free))
+        nodes_new, c0, c1, _n_good = pgo.pgo_solve(
+            problem, max_iters=int(cfg.loop_pgo_iters))
+
+        Rn = np.asarray(nodes_new.R, np.float64)[:K]
+        tn = np.asarray(nodes_new.t, np.float64)[:K]
+        sn = np.asarray(nodes_new.s, np.float64)[:K]
+
+        # --- rewrite keyframe poses: T_new = [R | t/s] (sim3.to_se3)
+        Tnew = np.tile(np.eye(4), (K, 1, 1))
+        Tnew[:, :3, :3] = Rn
+        Tnew[:, :3, 3] = tn / sn[:, None]
+        centers_old = -np.einsum("kji,kj->ki", Told[:, :3, :3], Told[:, :3, 3])
+        centers_new = -np.einsum("kji,kj->ki", Rn, tn) / sn[:, None]
+        max_delta = float(np.max(np.linalg.norm(
+            centers_new - centers_old, axis=1))) if K else 0.0
+        for i, kf in enumerate(kfs):
+            kf.pose = Tnew[i].copy()
+
+        # --- rewrite landmarks, anchored to their first observing keyframe:
+        # X_new = S_new_a^{-1}( S_old_a (X_old) ), s_old = 1
+        ids = world_map.point_ids()
+        if ids:
+            pos = world_map.get_point_array()                 # insertion order
+            anchors = np.empty((len(ids),), np.int64)
+            for r, pid in enumerate(ids):
+                mp = world_map.points[pid]
+                obs = mp.observations
+                a = obs[0][0] if obs else mp.keyframe_idx
+                anchors[r] = min(max(int(a), 0), K - 1)
+            Ro = Told[anchors, :3, :3]
+            to = Told[anchors, :3, 3]
+            Xc = np.einsum("nij,nj->ni", Ro, pos) + to        # cam frame
+            Xn = np.einsum("nji,nj->ni", Rn[anchors],
+                           Xc - tn[anchors]) / sn[anchors][:, None]
+            rows = np.fromiter(world_map._row.values(), np.int64, len(ids))
+            world_map._positions[rows] = Xn
+            world_map.version += 1
+
+        # --- rewrite the per-frame trajectory, each frame anchored to the
+        # latest keyframe at-or-before it (relative translation rescaled by
+        # the anchor's scale correction)
+        kf_pose_rows = np.asarray(world_map.keyframe_indices, np.int64)
+        if kf_pose_rows.size:
+            n_anchor = min(kf_pose_rows.size, K)
+            kf_rows = kf_pose_rows[:n_anchor]
+            for p_idx in range(len(world_map.poses)):
+                a = int(np.searchsorted(kf_rows, p_idx, side="right")) - 1
+                a = min(max(a, 0), n_anchor - 1)
+                T_rel = world_map.poses[p_idx] @ np.linalg.inv(
+                    Told[a] if a < K else Told[-1])
+                T_rel[:3, 3] /= sn[a]
+                world_map.poses[p_idx] = T_rel @ Tnew[a]
+
+        return float(c0), float(c1), max_delta
+
+    # ------------------------------------------------------------ entrypoint
+    def on_new_keyframe(self, kfs: List[Keyframe], world_map: Map,
+                        img_hw, key) -> Optional[LoopClosure]:
+        """Full detect -> verify -> close pass for the newest keyframe.
+        Returns the accepted LoopClosure (already applied) or None."""
+        cands = self.detect(kfs, img_hw)
+        cur = len(kfs) - 1
+        for cand, sim_score in cands:
+            ver = self.verify(kfs, world_map, cur, cand, key)
+            if ver is None:
+                continue
+            S_meas, n_inl, _depth = ver
+            c0, c1, max_delta = self.close(kfs, world_map, cur, cand, S_meas)
+            lc = LoopClosure(
+                cur_kf=cur, cand_kf=cand, similarity=sim_score,
+                n_inliers=n_inl, scale=float(np.asarray(S_meas.s)),
+                cost_before=c0, cost_after=c1, max_pose_delta=max_delta)
+            self.closures.append(lc)
+            self._cooldown_until = cur + int(self.cfg.loop_gap_kfs)
+            logger.info(
+                "[LOOP] closed: KF %d <-> KF %d (sim %.3f, %d inliers, "
+                "scale %.3f, cost %.2f -> %.2f, max pose delta %.3f m)",
+                cur, cand, sim_score, n_inl, lc.scale, c0, c1, max_delta)
+            return lc
+        return None

@@ -113,6 +113,7 @@ class SLAMSystem:
         self._last_matches = None      # (feats_prev, feats_cur, Matches)
         self._trackbook = None
         self._snap_cache = None
+        self.loop_closer = None        # created on demand (--loop_closure)
         self._key = jax.random.PRNGKey(cfg.seed)
         self._base_key = jax.random.PRNGKey(cfg.seed)
         self._undistort_maps = None
@@ -447,6 +448,16 @@ class SLAMSystem:
                         show=self.want_viz)
             except Exception as e:  # BA must never kill tracking (parity)
                 logger.warning("[Local BA] failed: %s", e)
+
+        if cfg.loop_closure and len(self.kfs) >= 2:
+            from simpleslam_tpu.core.fused import SITE_LOOP
+            from simpleslam_tpu.core.loop import LoopCloser
+            if self.loop_closer is None:
+                self.loop_closer = LoopCloser(cfg, self.K, self.matcher)
+            with self.timer.stage("loop"):
+                self.loop_closer.on_new_keyframe(
+                    self.kfs, self.world_map, self.img_hw,
+                    self._site_key(frame_idx, SITE_LOOP))
         return len(new_ids)
 
     # ------------------------------------------------------------ main step

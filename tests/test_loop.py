@@ -1,0 +1,208 @@
+"""Loop closure (core/loop.py): place recognition, Sim(3) verification,
+pose-graph correction, and full map rewrite on a synthetic drifted loop.
+
+The reference lists loop closure + pose-graph optimization as future work
+(reference: README.md:317, slam/monocular/main_revamped.py:501); these tests
+pin the behavior of our TPU-native implementation.
+
+Fixture: a K-keyframe circular trajectory whose estimate accumulates a smooth
+Sim(3) drift (rotation + translation + 15% scale). The last keyframe revisits
+the first one's viewpoint and re-triangulates DUPLICATE landmarks at drifted
+positions — exactly the monocular-drift situation loop closure exists to fix.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simpleslam_tpu.config import SLAMConfig
+from simpleslam_tpu.core.frontend import Matcher
+from simpleslam_tpu.core.keyframe import Keyframe
+from simpleslam_tpu.core.loop import LoopCloser, place_vector
+from simpleslam_tpu.core.map import Map
+from simpleslam_tpu.core.types import Features
+from simpleslam_tpu.ops import sim3
+from simpleslam_tpu.ops.matching import bf_match
+
+IMG_HW = (480, 640)
+K_INTR = np.array([[300.0, 0, 320.0], [0, 300.0, 240.0], [0, 0, 1]])
+N_LM = 80          # landmarks seen at both loop endpoints
+N_PAD = 128
+N_KF = 20
+DRIFT_XI = np.array([0.5, 0.3, 0.0, 0.0, 0.05, 0.0, 0.15], np.float64)
+
+
+def _feats(kpts_xy: np.ndarray, desc: np.ndarray) -> Features:
+    n = kpts_xy.shape[0]
+    kp = np.zeros((N_PAD, 2), np.float32)
+    dc = np.zeros((N_PAD, desc.shape[1]), np.float32)
+    vl = np.zeros((N_PAD,), bool)
+    kp[:n], dc[:n], vl[:n] = kpts_xy, desc, True
+    return Features(kpts=jnp.asarray(kp), desc=jnp.asarray(dc),
+                    scores=jnp.ones((N_PAD,), jnp.float32),
+                    valid=jnp.asarray(vl))
+
+
+def _project(X_cam: np.ndarray) -> np.ndarray:
+    uv = (K_INTR @ X_cam.T).T
+    return (uv[:, :2] / uv[:, 2:3]).astype(np.float32)
+
+
+def _gt_pose(k: int) -> np.ndarray:
+    """Circular loop in the x-z plane, full turn over N_KF keyframes;
+    KF 0 and KF N_KF-1 share the same viewpoint. World = cam0."""
+    th = 2.0 * np.pi * k / (N_KF - 1)
+    c, s = np.cos(th), np.sin(th)
+    R = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
+    center = 5.0 * np.array([np.sin(th), 0.0, 1.0 - np.cos(th)])
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = -R @ center
+    return T
+
+
+def _drift_warp(k: int) -> sim3.Sim3:
+    """World-warp W_k = exp(k/(K-1) * xi): est world = W_k(gt world)."""
+    xi = jnp.asarray(DRIFT_XI * (k / (N_KF - 1)), jnp.float32)
+    return sim3.exp(xi)
+
+
+def _est_pose(k: int) -> np.ndarray:
+    """Estimated SE(3) pose consistent with the warped map:
+    S_est = S_gt o W_k^{-1}, projected to SE(3) via to_se3."""
+    S = sim3.compose(sim3.from_se3(jnp.asarray(_gt_pose(k), jnp.float32)),
+                     sim3.inverse(_drift_warp(k)))
+    return np.asarray(sim3.to_se3(S), np.float64)
+
+
+@pytest.fixture(scope="module")
+def loop_world():
+    rng = np.random.default_rng(7)
+    X_gt = np.column_stack([rng.uniform(-2, 2, N_LM),
+                            rng.uniform(-2, 2, N_LM),
+                            rng.uniform(4, 8, N_LM)])      # cam0 frame = world
+    desc = rng.normal(size=(N_LM, 64)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+
+    W_end = _drift_warp(N_KF - 1)
+    X_drift = np.asarray(sim3.act(W_end, jnp.asarray(X_gt, jnp.float32)),
+                         np.float64)
+
+    kfs, wm = [], Map()
+    uv0 = _project(X_gt)                                   # KF0 pixels
+    for k in range(N_KF):
+        T_est = _est_pose(k)
+        if k == 0 or k == N_KF - 1:
+            feats = _feats(uv0, desc)   # revisit: same pixels, same desc
+        else:
+            kp = np.column_stack([rng.uniform(0, 640, N_LM),
+                                  rng.uniform(0, 480, N_LM)])
+            d = rng.normal(size=(N_LM, 64)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            feats = _feats(kp, d)
+        kfs.append(Keyframe(idx=k, frame_idx=k, path="", feats=feats,
+                            pose=T_est.copy(), thumb=b""))
+        wm.add_pose(T_est.copy(), is_keyframe=True)
+
+    pids_old = wm.add_points(X_gt, keyframe_idx=0)
+    for kp_i, pid in enumerate(pids_old):
+        wm.points[pid].add_observation(0, kp_i, desc[kp_i])
+    pids_new = wm.add_points(X_drift, keyframe_idx=N_KF - 1)
+    for kp_i, pid in enumerate(pids_new):
+        wm.points[pid].add_observation(N_KF - 1, kp_i, desc[kp_i])
+    return kfs, wm, X_gt, np.asarray(pids_old), np.asarray(pids_new)
+
+
+def _cfg(**kw):
+    cfg = SLAMConfig()
+    cfg.loop_closure = True
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def _matcher():
+    return Matcher(name="test-l2nn", fn=lambda f0, f1: bf_match(f0, f1))
+
+
+def _centers(kfs):
+    return np.stack([-kf.pose[:3, :3].T @ kf.pose[:3, 3] for kf in kfs])
+
+
+def test_place_vectors_discriminate(loop_world):
+    kfs, _, _, _, _ = loop_world
+    vs = [place_vector(kf.feats, IMG_HW, grid=4) for kf in kfs]
+    sim_loop = float(vs[0] @ vs[-1])
+    sim_mid = max(float(vs[0] @ vs[k]) for k in range(5, 15))
+    assert sim_loop > 0.95          # revisited viewpoint
+    assert sim_mid < 0.5            # unrelated views
+    assert sim_loop > sim_mid + 0.4
+
+
+def test_detect_gap_and_cooldown(loop_world):
+    kfs, wm, _, _, _ = loop_world
+    lc = LoopCloser(_cfg(), K_INTR, _matcher())
+    # too-recent keyframes are excluded by the gap
+    assert lc.detect(kfs[:10], IMG_HW) == []
+    cands = lc.detect(kfs, IMG_HW)
+    assert cands and cands[0][0] == 0 and cands[0][1] > 0.9
+    lc._cooldown_until = N_KF + 5
+    assert lc.detect(kfs, IMG_HW) == []
+
+
+def test_loop_close_end_to_end(loop_world):
+    kfs, wm, X_gt, pids_old, pids_new = loop_world
+    kfs = [Keyframe(idx=kf.idx, frame_idx=kf.frame_idx, path="",
+                    feats=kf.feats, pose=kf.pose.copy(), thumb=b"")
+           for kf in kfs]
+
+    centers_gt = np.stack(
+        [-(_gt_pose(k)[:3, :3].T @ _gt_pose(k)[:3, 3]) for k in range(N_KF)])
+    err_before = np.linalg.norm(_centers(kfs)[-1] - centers_gt[-1])
+    assert err_before > 0.3         # fixture sanity: the drift is material
+
+    dup_before = np.median(np.linalg.norm(
+        wm.get_point_array()[N_LM:] - X_gt, axis=1))
+    assert dup_before > 0.3         # duplicates really are displaced
+
+    lc = LoopCloser(_cfg(), K_INTR, _matcher())
+    out = lc.on_new_keyframe(kfs, wm, IMG_HW, jax.random.PRNGKey(3))
+
+    assert out is not None, "loop must be detected and accepted"
+    assert out.cand_kf == 0 and out.cur_kf == N_KF - 1
+    assert out.n_inliers >= SLAMConfig().loop_min_inliers
+    # measured relative scale ~ e^{+sigma_drift}: the endpoint pose's scale
+    # drift collapses into translation under to_se3, so its camera sees the
+    # revisited scene enlarged by e^{sigma}
+    assert abs(out.scale - np.exp(DRIFT_XI[6])) < 0.1
+    assert out.cost_after < 0.25 * out.cost_before
+
+    # endpoint keyframe snaps back to ground truth (gauge = node 0 = GT)
+    err_after = np.linalg.norm(_centers(kfs)[-1] - centers_gt[-1])
+    assert err_after < 0.2 * err_before
+    assert err_after < 0.25
+
+    # duplicate landmarks (anchored at the drifted endpoint) land on their
+    # ground-truth twins after the anchored rewrite
+    pos = wm.get_point_array()
+    dup_after = np.median(np.linalg.norm(pos[N_LM:] - X_gt, axis=1))
+    assert dup_after < 0.25 * dup_before
+    # originals (anchored at the pinned node) stay put
+    assert np.max(np.linalg.norm(pos[:N_LM] - X_gt, axis=1)) < 1e-3
+
+    # the per-frame trajectory was rewritten consistently with the keyframes
+    traj_end = -(wm.poses[-1][:3, :3].T @ wm.poses[-1][:3, 3])
+    assert np.linalg.norm(traj_end - _centers(kfs)[-1]) < 1e-6
+
+    # cooldown armed + closure recorded
+    assert lc.closures and lc._cooldown_until == (N_KF - 1
+                                                  + SLAMConfig().loop_gap_kfs)
+
+
+def test_no_false_closure_on_distinct_views(loop_world):
+    """Middle keyframes (random descriptors) must not trigger closures."""
+    kfs, wm, _, _, _ = loop_world
+    lc = LoopCloser(_cfg(), K_INTR, _matcher())
+    sub = list(kfs[:N_KF - 1])      # drop the revisit keyframe
+    out = lc.on_new_keyframe(sub, wm, IMG_HW, jax.random.PRNGKey(0))
+    assert out is None and lc.closures == []
