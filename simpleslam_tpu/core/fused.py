@@ -290,7 +290,12 @@ def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
         compactions=jnp.int32(0),
         n_points=jnp.int32(len(wm)),
         frame_no=jnp.int32(system.frame_ids[-1] + 1),
-        key=system._base_key,     # site-keyed RNG: fold_in(base, frame, site)
+        # site-keyed RNG: fold_in(base, frame, site). COPY the host's base
+        # key: step() donates its input state, so handing over the host
+        # array itself would delete system._base_key's buffer after the
+        # first dispatch (the host still derives loop-closure/viz keys
+        # from it mid-run)
+        key=jnp.array(system._base_key, copy=True),
         log_pose=jnp.zeros((fc.log_capacity, 4, 4), jnp.float32),
         log_flags=jnp.zeros((fc.log_capacity, 6), jnp.float32),
         log_frame=jnp.full((fc.log_capacity,), -1, jnp.int32),
@@ -298,7 +303,8 @@ def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
     )
 
 
-def sync_to_host(system, state: FusedState, fc: FusedConfig) -> dict:
+def sync_to_host(system, state: FusedState, fc: FusedConfig,
+                 from_row: int = 0) -> dict:
     """One big device->host readback: trajectory log + map + KF poses.
 
     Landmarks reconcile BY STABLE ID (``state.pid``): survivors update in
@@ -308,6 +314,10 @@ def sync_to_host(system, state: FusedState, fc: FusedConfig) -> dict:
     host-side ``--save_state``/resume, ``--viz_ba`` and the MapPoint view
     stay faithful across any number of on-device compactions (round-2
     verdict item 6; the old path rebuilt positions-only after eviction).
+
+    ``from_row``: first trajectory-log row not yet consumed — periodic mid-run
+    syncs (loop-closure mode) pass the previous call's ``log_n`` so poses
+    append exactly once; the map/KF reconciliation is idempotent either way.
     """
     host = jax.device_get({
         "log_pose": state.log_pose, "log_flags": state.log_flags,
@@ -324,7 +334,7 @@ def sync_to_host(system, state: FusedState, fc: FusedConfig) -> dict:
     })
     n_log = int(host["log_n"])
     wm = system.world_map
-    for i in range(n_log):
+    for i in range(from_row, n_log):
         f = int(host["log_frame"][i])
         if f < 0:
             continue
@@ -375,7 +385,7 @@ def sync_to_host(system, state: FusedState, fc: FusedConfig) -> dict:
 
     kfc = int(host["kf_count"])
     Kw = fc.kf_ring
-    kf_rows = [i for i in range(n_log)
+    kf_rows = [i for i in range(from_row, n_log)
                if host["log_flags"][i, 1] > 0.5 and host["log_frame"][i] >= 0]
     kfc_start = kfc - len(kf_rows)
     N = host["kf_kpts"].shape[1]
@@ -417,6 +427,49 @@ def sync_to_host(system, state: FusedState, fc: FusedConfig) -> dict:
                     wm.poses[pi][:] = kf.pose
     system.last_kf_frame_no = int(host["last_kf_frame_no"])
     return host
+
+
+def apply_host_correction(state: FusedState, system, fc: FusedConfig,
+                          host: dict) -> FusedState:
+    """Push a host-side global map rewrite (a loop closure: keyframe poses,
+    landmark positions, trajectory — core/loop.LoopCloser.close) back into
+    the device-resident state so subsequent fused dispatches track against
+    the corrected map. Loop closures are rare, out-of-hot-loop events, so
+    one host->device upload here is the right trade (the per-frame path
+    stays a single dispatch with zero readbacks).
+
+    Updates: landmark positions (reconciled by stable pid), the keyframe
+    ring poses, and the current/previous camera pose from the corrected
+    trajectory. Observation tables, descriptors and ids are untouched —
+    the closure moves geometry, not associations.
+    """
+    wm = system.world_map
+    pos = np.array(host["positions"])                 # (C,3) from the sync
+    pid = host["pid"]
+    alive = host["alive"]
+    n_pts = int(host["n_points"])
+    for r in range(n_pts):
+        if not alive[r]:
+            continue
+        hrow = wm._row.get(int(pid[r]))
+        if hrow is not None:
+            pos[r] = wm._positions[hrow]              # corrected position
+
+    kf_pose = np.array(host["kf_pose"])               # (Kw,4,4)
+    kfc = int(host["kf_count"])
+    for kf in system.kfs:
+        if kfc - fc.kf_ring <= kf.idx < kfc:
+            slot = kf.idx % fc.kf_ring
+            if int(host["kf_frame_no"][slot]) == kf.frame_idx:
+                kf_pose[slot] = kf.pose
+
+    Tcw = np.asarray(wm.poses[-1], np.float32)
+    Tcw_prev = (np.asarray(wm.poses[-2], np.float32)
+                if len(wm.poses) >= 2 else Tcw)
+    return state.replace(
+        positions=jnp.asarray(pos, jnp.float32),
+        kf_pose=jnp.asarray(kf_pose, jnp.float32),
+        Tcw=jnp.asarray(Tcw), Tcw_prev=jnp.asarray(Tcw_prev))
 
 
 # --------------------------------------------------------------------------- #

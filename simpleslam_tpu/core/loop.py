@@ -112,6 +112,7 @@ class LoopCloser:
         self.matcher = matcher
         self._vecs: List[np.ndarray] = []       # aligned with the kfs list
         self._cooldown_until = -1               # KF id; skip detection until
+        self._scanned_until = 0                 # fused-mode scan() progress
         self.closures: List[LoopClosure] = []
 
     # ------------------------------------------------------------- detection
@@ -121,14 +122,19 @@ class LoopCloser:
             self._vecs.append(
                 place_vector(kf.feats, img_hw, self.cfg.loop_grid))
 
-    def detect(self, kfs: List[Keyframe], img_hw) -> List[Tuple[int, float]]:
-        """Candidate (kf_idx, similarity) list for the NEWEST keyframe."""
+    def detect(self, kfs: List[Keyframe], img_hw,
+               cur: Optional[int] = None) -> List[Tuple[int, float]]:
+        """Candidate (kf_idx, similarity) list for keyframe ``cur``
+        (default: the newest)."""
         self._ingest(kfs, img_hw)
-        cur = len(kfs) - 1
+        if cur is None:
+            cur = len(kfs) - 1
         gap = int(self.cfg.loop_gap_kfs)
         if cur < gap + 1 or cur <= self._cooldown_until:
             return []
         vec = self._vecs[cur]
+        if not np.any(vec):            # featureless/placeholder KF record
+            return []
         past = np.stack(self._vecs[:cur - gap])
         sims = past @ vec
         order = np.argsort(-sims)[: int(self.cfg.loop_topk)]
@@ -318,11 +324,14 @@ class LoopCloser:
 
     # ------------------------------------------------------------ entrypoint
     def on_new_keyframe(self, kfs: List[Keyframe], world_map: Map,
-                        img_hw, key) -> Optional[LoopClosure]:
-        """Full detect -> verify -> close pass for the newest keyframe.
+                        img_hw, key,
+                        cur: Optional[int] = None) -> Optional[LoopClosure]:
+        """Full detect -> verify -> close pass for keyframe ``cur``
+        (default: the newest).
         Returns the accepted LoopClosure (already applied) or None."""
-        cands = self.detect(kfs, img_hw)
-        cur = len(kfs) - 1
+        if cur is None:
+            cur = len(kfs) - 1
+        cands = self.detect(kfs, img_hw, cur=cur)
         for cand, sim_score in cands:
             ver = self.verify(kfs, world_map, cur, cand, key)
             if ver is None:
@@ -340,4 +349,20 @@ class LoopCloser:
                 "scale %.3f, cost %.2f -> %.2f, max pose delta %.3f m)",
                 cur, cand, sim_score, n_inl, lc.scale, c0, c1, max_delta)
             return lc
+        return None
+
+    def scan(self, kfs: List[Keyframe], world_map: Map, img_hw,
+             key) -> Optional[LoopClosure]:
+        """Fused-mode entrypoint: several keyframes may have arrived since
+        the last host sync (run_slam._run_fused_loop syncs every
+        ``--fused_sync_every`` frames) — try detect/verify/close for each
+        not-yet-scanned keyframe in order. Returns the first accepted
+        closure of this sweep (at most one per sweep; the map rewrite
+        invalidates the other candidates' geometry)."""
+        start = self._scanned_until
+        self._scanned_until = len(kfs)
+        for cur in range(start, len(kfs)):
+            lc = self.on_new_keyframe(kfs, world_map, img_hw, key, cur=cur)
+            if lc is not None:
+                return lc
         return None

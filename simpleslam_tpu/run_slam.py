@@ -89,6 +89,7 @@ class SLAMResult:
     tracking_lost_count: int = 0
     map_compactions: int = 0    # fused-mode eviction passes (long sequences)
     kf_frames: List[int] = field(default_factory=list)  # KF source frame ids
+    loop_closures: int = 0      # accepted loop closures (--loop_closure)
 
 
 class SLAMSystem:
@@ -515,7 +516,8 @@ def _run_fused_loop(cfg: SLAMConfig, seq: Sequence, system: "SLAMSystem",
     """Device-resident tracking for frames [start_idx, len(seq)): one jitted
     dispatch per frame, no host readbacks until the final sync (core/fused).
     Host work per frame = decode + upload, overlapped by the Prefetcher."""
-    from simpleslam_tpu.core.fused import (build_fused_step,
+    from simpleslam_tpu.core.fused import (SITE_LOOP, apply_host_correction,
+                                           build_fused_step,
                                            make_fused_config,
                                            state_from_host, sync_to_host)
     from simpleslam_tpu.data.dataloader import Prefetcher
@@ -533,20 +535,43 @@ def _run_fused_loop(cfg: SLAMConfig, seq: Sequence, system: "SLAMSystem",
     pf = Prefetcher(seq, depth=max(1, cfg.prefetch), start=start_idx,
                     transform=jnp.asarray)
     sync_every = int(cfg.fused_sync_every)
+    # loop-closure mode needs REAL periodic syncs (keyframe features must be
+    # captured off the device ring before newer keyframes overwrite them, and
+    # place recognition/verification run on the host between dispatches)
+    loop_on = bool(cfg.loop_closure)
+    lc_every = sync_every or 32
+    log_consumed = 0
     with system.timer.stage("fused_loop"):
         n_dispatched = 0
         for i, img in pf:
             with system.timer.stage("fused_dispatch"):
                 state = step(state, img)
             n_dispatched += 1
-            if sync_every and n_dispatched % sync_every == 0:
+            if loop_on and n_dispatched % lc_every == 0:
+                with system.timer.stage("fused_sync"):
+                    host = sync_to_host(system, state, fc,
+                                        from_row=log_consumed)
+                    log_consumed = int(host["log_n"])
+                with system.timer.stage("loop"):
+                    if system.loop_closer is None:
+                        from simpleslam_tpu.core.loop import LoopCloser
+                        system.loop_closer = LoopCloser(cfg, system.K,
+                                                        system.matcher)
+                    closed = system.loop_closer.scan(
+                        system.kfs, system.world_map, system.img_hw,
+                        system._site_key(int(host["log_n"]), SITE_LOOP))
+                    if closed is not None:
+                        # push the corrected map/poses back to the device
+                        state = apply_host_correction(state, system, fc,
+                                                      host)
+            elif sync_every and n_dispatched % sync_every == 0:
                 with system.timer.stage("fused_sync"):
                     # partial sync: force the pose log so far (observes all
                     # dispatches; keeps divergence bounded for live viz)
                     _ = np.asarray(state.Tcw)
         pf.close()
     with system.timer.stage("fused_sync"):
-        host = sync_to_host(system, state, fc)
+        host = sync_to_host(system, state, fc, from_row=log_consumed)
     system.kf_count_override = int(host["kf_count"])
     system._key = state.key
 
@@ -702,7 +727,9 @@ def run(cfg: SLAMConfig) -> SLAMResult:
         map_compactions=int(getattr(system, "_fused_compactions", 0)),
         kf_frames=[system.frame_ids[i]
                    for i in system.world_map.keyframe_indices
-                   if i < len(system.frame_ids)])
+                   if i < len(system.frame_ids)],
+        loop_closures=(len(system.loop_closer.closures)
+                       if system.loop_closer is not None else 0))
 
     out_png = f"trajectory_{cfg.dataset}.png"
     try:

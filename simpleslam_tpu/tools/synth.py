@@ -48,6 +48,31 @@ def make_trajectory(n_frames: int, speed: float = 0.5,
     return np.stack(out)
 
 
+def make_loop_trajectory(n_frames: int, speed: float = 0.5,
+                         closure_frac: float = 0.8) -> np.ndarray:
+    """(N,4,4) T_wc poses on a CLOSED circle: constant yaw rate chosen so the
+    camera returns exactly to its start viewpoint after
+    ``closure_frac * n_frames`` frames, then keeps driving the same circle.
+    The revisit is what loop closure (core/loop.py) detects; the reference
+    has no closed trajectories because it has no loop closure (future work,
+    reference README.md:317). Circle radius ~= speed / yaw_step."""
+    n_close = max(int(round(n_frames * closure_frac)), 8)
+    yaw_step = 2.0 * np.pi / n_close
+    out = [np.eye(4)]
+    yaw, pos = 0.0, np.zeros(3)
+    for _ in range(n_frames - 1):
+        yaw += yaw_step
+        R = np.array([[np.cos(yaw), 0, np.sin(yaw)],
+                      [0, 1, 0],
+                      [-np.sin(yaw), 0, np.cos(yaw)]])
+        pos = pos + R @ np.array([0.0, 0.0, speed])
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        out.append(T)
+    return np.stack(out)
+
+
 _JTEX = None
 
 
@@ -253,7 +278,8 @@ class BoxScene:
 
     def __init__(self, seed: int = 0, ground_y: float = 1.6,
                  n_boxes: int = 48, hw: Tuple[int, int] = DEFAULT_HW,
-                 K: np.ndarray = DEFAULT_K, span_z: float = 250.0):
+                 K: np.ndarray = DEFAULT_K, span_z: float = 250.0,
+                 path: np.ndarray = None):
         rng = np.random.default_rng(seed + 77000)
         self.tex = ProceduralTexture(seed + 50000)
         # square-wave component: sharp edges change the local gradient
@@ -274,13 +300,29 @@ class BoxScene:
         # camera never flies through geometry.
         boxes = []
         n_target = max(n_boxes, 30)
+        # optional explicit camera path (e.g. a closed loop): the box field
+        # then covers the path's bounding region instead of the default
+        # straight +z run, and collision rejection uses true path distance
+        if path is not None:
+            path = np.asarray(path, np.float64)
+            x_lo, x_hi = path[:, 0].min() - 25.0, path[:, 0].max() + 25.0
+            z_lo, z_hi = path[:, 2].min() - 10.0, path[:, 2].max() + 25.0
         while len(boxes) < n_target:
             sx, sy, sz = rng.uniform(1.0, 6.0, 3)
-            cx = rng.uniform(-25.0, 25.0)
             cy = rng.uniform(-18.0, ground_y)
-            cz = rng.uniform(4.0, max(span_z, 250.0))
-            if abs(cx) < 2.5 + sx / 2 and abs(cy) < 2.5 + sy / 2:
-                continue
+            if path is not None:
+                cx = rng.uniform(x_lo, x_hi)
+                cz = rng.uniform(z_lo, z_hi)
+                half_diag = 0.5 * float(np.linalg.norm([sx, sy, sz]))
+                d_path = np.min(np.linalg.norm(
+                    path[:, [0, 2]] - np.array([cx, cz]), axis=1))
+                if d_path < 2.5 + half_diag and cy > -2.5 - sy / 2:
+                    continue
+            else:
+                cx = rng.uniform(-25.0, 25.0)
+                cz = rng.uniform(4.0, max(span_z, 250.0))
+                if abs(cx) < 2.5 + sx / 2 and abs(cy) < 2.5 + sy / 2:
+                    continue
             lo = np.array([cx - sx / 2, cy - sy / 2, cz - sz / 2])
             hi = np.array([cx + sx / 2, cy + sy / 2, cz + sz / 2])
             boxes.append((lo, hi))
@@ -382,13 +424,31 @@ def generate_kitti_sequence(out_dir: str, n_frames: int = 60, seed: int = 0,
                             speed: float = 0.5,
                             yaw_rate_deg: float = 0.25,
                             n_points: int = 0,
-                            scene: str = "corridor") -> str:
+                            scene: str = "corridor",
+                            trajectory: str = "straight",
+                            closure_frac: float = 0.8) -> str:
     """Write a KITTI-layout synthetic sequence; returns the base_dir to pass
     as ``--base_dir`` with ``--dataset kitti``. (``n_points`` accepted for
-    backward compatibility; the raycast scene has continuous texture.)"""
+    backward compatibility; the raycast scene has continuous texture.)
+
+    ``trajectory="loop"`` drives a closed circle that revisits its start
+    viewpoint at ``closure_frac * n_frames`` (the loop-closure fixture); the
+    scene geometry auto-adapts (corridor widens past the circle, box field
+    covers the path)."""
     import cv2
 
-    T_wc = make_trajectory(n_frames, speed=speed, yaw_rate_deg=yaw_rate_deg)
+    scene_kw = {}
+    if trajectory == "loop":
+        T_wc = make_loop_trajectory(n_frames, speed=speed,
+                                    closure_frac=closure_frac)
+        if scene == "corridor":
+            scene_kw["wall_x"] = float(
+                max(10.0, np.abs(T_wc[:, 0, 3]).max() + 6.0))
+        else:
+            scene_kw["path"] = T_wc[:, :3, 3]
+    else:
+        T_wc = make_trajectory(n_frames, speed=speed,
+                               yaw_rate_deg=yaw_rate_deg)
     # scale the KITTI intrinsics to the render size exactly the way the
     # data layer rescales the hard-coded calibration to non-native frames
     # (data/dataloader.py Sequence._rescale_calib_to_frames) — fixture and
@@ -398,7 +458,7 @@ def generate_kitti_sequence(out_dir: str, n_frames: int = 60, seed: int = 0,
     Ks = DEFAULT_K.copy()
     Ks[0] *= W / DEFAULT_HW[1]
     Ks[1] *= H / DEFAULT_HW[0]
-    scene = SCENE_FAMILIES[scene](seed=seed, hw=hw, K=Ks)
+    scene = SCENE_FAMILIES[scene](seed=seed, hw=hw, K=Ks, **scene_kw)
 
     img_dir = os.path.join(out_dir, "kitti", "05", "image_0")
     pose_dir = os.path.join(out_dir, "kitti", "poses")
@@ -423,9 +483,18 @@ def main(argv=None) -> int:
     p.add_argument("--speed", type=float, default=0.5)
     p.add_argument("--yaw_rate_deg", type=float, default=0.25)
     p.add_argument("--scene", choices=sorted(SCENE_FAMILIES), default="corridor")
+    p.add_argument("--trajectory", choices=["straight", "loop"],
+                   default="straight",
+                   help="'loop' drives a closed circle that revisits its "
+                        "start viewpoint (loop-closure fixture)")
+    p.add_argument("--closure_frac", type=float, default=0.8,
+                   help="loop mode: fraction of frames at which the circle "
+                        "closes (the rest re-drives the start of the loop)")
     a = p.parse_args(argv)
     base = generate_kitti_sequence(a.out, a.frames, a.seed, speed=a.speed,
-                                   yaw_rate_deg=a.yaw_rate_deg, scene=a.scene)
+                                   yaw_rate_deg=a.yaw_rate_deg, scene=a.scene,
+                                   trajectory=a.trajectory,
+                                   closure_frac=a.closure_frac)
     print(f"synthetic KITTI sequence at {base} "
           f"(use --dataset kitti --base_dir {base})")
     return 0
