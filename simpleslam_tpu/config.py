@@ -112,6 +112,12 @@ class SLAMConfig:
     loop_ransac_thresh: float = 0.10       # RANSAC threshold as a fraction of
                                            # the median candidate scene depth
                                            # (monocular scale is arbitrary)
+    loop_max_scale: float = 4.0            # plausibility gate on the measured
+                                           # Sim3 relative scale: reject if
+                                           # s or 1/s exceeds this (measured:
+                                           # a false-positive candidate passed
+                                           # RANSAC with s=0.024 and its PGO
+                                           # rewrite wrecked the trajectory)
     loop_weight: float = 4.0               # loop-edge weight in the pose graph
     loop_grid: int = 4                     # G x G descriptor pooling grid
     loop_topk: int = 2                     # candidates to geometric-verify
@@ -271,6 +277,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--loop_min_inliers", type=int, default=d.loop_min_inliers)
     g.add_argument("--loop_ransac_thresh", type=float,
                    default=d.loop_ransac_thresh)
+    g.add_argument("--loop_max_scale", type=float, default=d.loop_max_scale)
     g.add_argument("--loop_weight", type=float, default=d.loop_weight)
     g.add_argument("--loop_grid", type=int, default=d.loop_grid)
     g.add_argument("--loop_topk", type=int, default=d.loop_topk)

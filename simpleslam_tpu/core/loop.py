@@ -210,6 +210,16 @@ class LoopCloser:
             logger.info("[LOOP] cand %d rejected (%d/%d inliers)",
                         cand, n_inl, n)
             return None
+        # plausibility gate: a real revisit's relative scale is bounded by
+        # accumulated monocular drift (a few x at worst). Extreme values mean
+        # RANSAC latched onto coincidental structure (repetitive texture) —
+        # applying such an "alignment" rewrites the whole map wrongly.
+        s = float(np.asarray(S.s))
+        smax = float(getattr(cfg, "loop_max_scale", 4.0))
+        if not (1.0 / smax <= s <= smax):
+            logger.info("[LOOP] cand %d rejected (implausible scale %.4f, "
+                        "%d inliers)", cand, s, n_inl)
+            return None
         return S, n_inl, depth
 
     # ------------------------------------------------------------ correction

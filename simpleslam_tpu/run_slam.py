@@ -574,6 +574,18 @@ def _run_fused_loop(cfg: SLAMConfig, seq: Sequence, system: "SLAMSystem",
         host = sync_to_host(system, state, fc, from_row=log_consumed)
     system.kf_count_override = int(host["kf_count"])
     system._key = state.key
+    if loop_on:
+        # final sweep: keyframes that arrived after the last periodic sync
+        # (e.g. a revisit near the end of the sequence) still get their
+        # detect/verify/close chance; the rewrite lands in the host map that
+        # the results/ATE are computed from
+        with system.timer.stage("loop"):
+            if system.loop_closer is None:
+                from simpleslam_tpu.core.loop import LoopCloser
+                system.loop_closer = LoopCloser(cfg, system.K, system.matcher)
+            system.loop_closer.scan(
+                system.kfs, system.world_map, system.img_hw,
+                system._site_key(int(host["log_n"]) + 1, SITE_LOOP))
 
 
 def _show_driver_windows(system: "SLAMSystem") -> None:

@@ -73,6 +73,40 @@ def make_loop_trajectory(n_frames: int, speed: float = 0.5,
     return np.stack(out)
 
 
+def make_square_loop_trajectory(n_frames: int, speed: float = 0.5,
+                                closure_frac: float = 0.8,
+                                corner_frames: int = 24) -> np.ndarray:
+    """(N,4,4) T_wc poses on a CLOSED rounded square: four straight segments
+    joined by four 90-degree arcs of ``corner_frames`` frames each, closing
+    exactly at ``closure_frac * n_frames`` (then re-driving the same lap).
+
+    This is the KITTI-shaped loop fixture: KITTI-00's loops are mostly
+    straight blocks with short corners, unlike the constant-yaw circle of
+    make_loop_trajectory (3.6 deg/frame sustained — a hard monocular case
+    where scale drifts under permanent rotation). Closure is exact by
+    symmetry: the four quarter-laps are identical up to 90-degree rotations,
+    so their displacements sum to zero."""
+    n_close = max(int(round(n_frames * closure_frac)), 16)
+    n_close -= n_close % 4                       # identical quarters
+    c = min(int(corner_frames), n_close // 4 - 1)
+    s_q = n_close // 4 - c                       # straight frames per side
+    quarter = [0.0] * s_q + [np.pi / 2 / c] * c
+    lap = quarter * 4
+    out = [np.eye(4)]
+    yaw, pos = 0.0, np.zeros(3)
+    for i in range(n_frames - 1):
+        yaw += lap[i % n_close]
+        R = np.array([[np.cos(yaw), 0, np.sin(yaw)],
+                      [0, 1, 0],
+                      [-np.sin(yaw), 0, np.cos(yaw)]])
+        pos = pos + R @ np.array([0.0, 0.0, speed])
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        out.append(T)
+    return np.stack(out)
+
+
 _JTEX = None
 
 
@@ -426,7 +460,8 @@ def generate_kitti_sequence(out_dir: str, n_frames: int = 60, seed: int = 0,
                             n_points: int = 0,
                             scene: str = "corridor",
                             trajectory: str = "straight",
-                            closure_frac: float = 0.8) -> str:
+                            closure_frac: float = 0.8,
+                            corner_frames: int = 24) -> str:
     """Write a KITTI-layout synthetic sequence; returns the base_dir to pass
     as ``--base_dir`` with ``--dataset kitti``. (``n_points`` accepted for
     backward compatibility; the raycast scene has continuous texture.)
@@ -438,14 +473,24 @@ def generate_kitti_sequence(out_dir: str, n_frames: int = 60, seed: int = 0,
     import cv2
 
     scene_kw = {}
-    if trajectory == "loop":
-        T_wc = make_loop_trajectory(n_frames, speed=speed,
-                                    closure_frac=closure_frac)
+    if trajectory in ("loop", "square"):
+        if trajectory == "square":
+            T_wc = make_square_loop_trajectory(n_frames, speed=speed,
+                                               closure_frac=closure_frac,
+                                               corner_frames=corner_frames)
+        else:
+            T_wc = make_loop_trajectory(n_frames, speed=speed,
+                                        closure_frac=closure_frac)
         if scene == "corridor":
             scene_kw["wall_x"] = float(
                 max(10.0, np.abs(T_wc[:, 0, 3]).max() + 6.0))
         else:
             scene_kw["path"] = T_wc[:, :3, 3]
+            # a circling camera sweeps EVERY heading: densify the field so
+            # no viewing direction is left facing featureless sky (measured:
+            # at the default 48 boxes, the fixture has 66-103 ORB corners on
+            # outward-facing frames vs ~300 elsewhere, and tracking starves)
+            scene_kw["n_boxes"] = 160
     else:
         T_wc = make_trajectory(n_frames, speed=speed,
                                yaw_rate_deg=yaw_rate_deg)
@@ -483,18 +528,30 @@ def main(argv=None) -> int:
     p.add_argument("--speed", type=float, default=0.5)
     p.add_argument("--yaw_rate_deg", type=float, default=0.25)
     p.add_argument("--scene", choices=sorted(SCENE_FAMILIES), default="corridor")
-    p.add_argument("--trajectory", choices=["straight", "loop"],
+    p.add_argument("--trajectory", choices=["straight", "loop", "square"],
                    default="straight",
-                   help="'loop' drives a closed circle that revisits its "
-                        "start viewpoint (loop-closure fixture)")
+                   help="'loop' drives a closed circle, 'square' a closed "
+                        "rounded square (KITTI-shaped: straights + short "
+                        "corners); both revisit the start viewpoint "
+                        "(loop-closure fixtures)")
     p.add_argument("--closure_frac", type=float, default=0.8,
-                   help="loop mode: fraction of frames at which the circle "
-                        "closes (the rest re-drives the start of the loop)")
+                   help="loop/square mode: fraction of frames at which the "
+                        "lap closes (the rest re-drives the lap)")
+    p.add_argument("--corner_frames", type=int, default=24,
+                   help="square mode: frames per 90-degree corner arc")
+    p.add_argument("--hw", type=int, nargs=2, default=list(DEFAULT_HW),
+                   metavar=("H", "W"),
+                   help="render resolution (default: native KITTI 370 1226; "
+                        "intrinsics are rescaled to match, so low-res "
+                        "fixtures keep KITTI's FOV — the full-res EWA render "
+                        "is ~100x slower than 180x410)")
     a = p.parse_args(argv)
-    base = generate_kitti_sequence(a.out, a.frames, a.seed, speed=a.speed,
+    base = generate_kitti_sequence(a.out, a.frames, a.seed,
+                                   hw=(a.hw[0], a.hw[1]), speed=a.speed,
                                    yaw_rate_deg=a.yaw_rate_deg, scene=a.scene,
                                    trajectory=a.trajectory,
-                                   closure_frac=a.closure_frac)
+                                   closure_frac=a.closure_frac,
+                                   corner_frames=a.corner_frames)
     print(f"synthetic KITTI sequence at {base} "
           f"(use --dataset kitti --base_dir {base})")
     return 0

@@ -150,6 +150,22 @@ def test_detect_gap_and_cooldown(loop_world):
     assert lc.detect(kfs, IMG_HW) == []
 
 
+def test_scale_gate_rejects_implausible(loop_world):
+    """The Sim3 scale plausibility gate (config.loop_max_scale) must reject
+    verified-but-implausible alignments BEFORE any map rewrite. Measured on
+    TPU: a repetitive-texture false positive passed RANSAC with s=0.024 and
+    its PGO rewrite wrecked the trajectory. The fixture's true revisit has
+    s ~= e^0.15 ~= 1.16; with the gate tightened to 1.1 it must be rejected
+    and the map left untouched (runs before the e2e test, which mutates the
+    module-scoped fixture map)."""
+    kfs, wm, X_gt, _, _ = loop_world
+    pos_before = wm.get_point_array().copy()
+    lc = LoopCloser(_cfg(loop_max_scale=1.1), K_INTR, _matcher())
+    out = lc.on_new_keyframe(kfs, wm, IMG_HW, jax.random.PRNGKey(3))
+    assert out is None and lc.closures == []
+    np.testing.assert_array_equal(wm.get_point_array(), pos_before)
+
+
 def test_loop_close_end_to_end(loop_world):
     kfs, wm, X_gt, pids_old, pids_new = loop_world
     kfs = [Keyframe(idx=kf.idx, frame_idx=kf.frame_idx, path="",
