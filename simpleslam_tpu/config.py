@@ -58,6 +58,16 @@ class SLAMConfig:
     # PnP / map maintenance
     pnp_min_inliers: int = 30
     proj_radius: float = 10.0
+    assoc_wide_factor: float = 2.5  # on PnP failure, retry association with
+                                    # proj_radius * this (ORB-SLAM's widened
+                                    # search window). Covers the corner-entry
+                                    # case where yaw onset is unpredicted by
+                                    # the const-vel seed: at 180x410 the
+                                    # first corner frame carries ~15-22 px of
+                                    # rotation flow vs the 10 px window
+                                    # (measured: square-loop fixture lost
+                                    # 18/130 frames without the retry).
+                                    # <= 1 disables.
     merge_radius: float = 0.10
 
     # local BA
@@ -217,6 +227,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.add_argument("--pnp_min_inliers", type=int, default=d.pnp_min_inliers)
     p.add_argument("--proj_radius", type=float, default=d.proj_radius)
+    p.add_argument("--assoc_wide_factor", type=float,
+                   default=d.assoc_wide_factor,
+                   help="widened-window association retry factor on PnP "
+                        "failure (<=1 disables)")
     p.add_argument("--merge_radius", type=float, default=d.merge_radius)
 
     p.add_argument("--local_ba_window", type=int, default=d.local_ba_window,

@@ -142,6 +142,8 @@ class FusedConfig(NamedTuple):
     ransac_hypotheses: int
     pnp_min_inliers: int
     proj_radius: float
+    assoc_wide_factor: float   # widened-window assoc retry on PnP failure
+                               # (<= 1 disables; see config.assoc_wide_factor)
     max_hamm: float
     max_l2: float
     kf_cooldown: int
@@ -179,6 +181,7 @@ def make_fused_config(cfg, img_hw: Tuple[int, int], n_kp: int,
         ransac_hypotheses=int(cfg.ransac_hypotheses),
         pnp_min_inliers=int(cfg.pnp_min_inliers),
         proj_radius=float(cfg.proj_radius),
+        assoc_wide_factor=float(getattr(cfg, "assoc_wide_factor", 0.0)),
         max_hamm=float(cfg.match_max_hamm),
         max_l2=float(cfg.match_max_l2),
         kf_cooldown=int(cfg.kf_cooldown),
@@ -528,36 +531,54 @@ def build_fused_step(fc: FusedConfig,
         outputs, one fewer matcher forward per tracked frame."""
         T_pred = pnp.predict_pose_const_vel(state.Tcw_prev, state.Tcw)
 
-        assoc = pnp.reproject_and_match_2d3d(
-            state.positions, state.alive, state.desc_ring, state.n_desc,
-            feats.kpts, feats.desc, feats.valid, Kj, T_pred,
-            img_w=fc.img_w, img_h=fc.img_h, radius_px=fc.proj_radius,
-            max_hamm=fc.max_hamm, max_l2=fc.max_l2)
-        n_cand = jnp.sum(assoc.valid.astype(jnp.int32))
-
         k_pnp = frame_key(state.key, frame_no, SITE_PNP)
         k_match = frame_key(state.key, frame_no, SITE_PREV_MATCH)
         k_ess = frame_key(state.key, frame_no, SITE_ESS)
         k_reloc = frame_key(state.key, frame_no, SITE_RELOC)
-        # compact the associated candidates from map-capacity rows (C) to a
-        # dense slot buffer before RANSAC: the hypothesis scoring is linear
-        # in the input rows and candidates are a small fraction of capacity
-        S = min(2048, C)
-        rank = jnp.cumsum(assoc.valid.astype(jnp.int32)) - 1
-        slot_ok = assoc.valid & (rank < S)
-        dest = jnp.where(slot_ok, rank, S)
-        row_of_slot = jnp.full((S + 1,), -1, jnp.int32) \
-            .at[dest].set(jnp.arange(C, dtype=jnp.int32))[:S]
-        slot_valid = row_of_slot >= 0
-        row_s = jnp.maximum(row_of_slot, 0)
-        T_est, inl_s, n_inl, ok = pnp.solve_pnp_ransac(
-            k_pnp, state.positions[row_s],
-            feats.kpts[assoc.kp_idx[row_s]], slot_valid, Kj,
-            fc.ransac_thresh, Tcw_init=T_pred,
-            n_hyp=fc.ransac_hypotheses)
-        inl = jnp.zeros((C,), bool).at[row_s].max(inl_s & slot_valid)
-        use_pnp = ok & (n_inl >= fc.pnp_min_inliers) & \
-            (n_cand >= fc.pnp_min_inliers)
+
+        def attempt(radius_px):
+            """One assoc + PnP pass at the given search radius (a traced
+            scalar — the wide retry shares the compiled program)."""
+            assoc = pnp.reproject_and_match_2d3d(
+                state.positions, state.alive, state.desc_ring, state.n_desc,
+                feats.kpts, feats.desc, feats.valid, Kj, T_pred,
+                img_w=fc.img_w, img_h=fc.img_h, radius_px=radius_px,
+                max_hamm=fc.max_hamm, max_l2=fc.max_l2)
+            n_cand = jnp.sum(assoc.valid.astype(jnp.int32))
+            # compact the associated candidates from map-capacity rows (C)
+            # to a dense slot buffer before RANSAC: the hypothesis scoring
+            # is linear in the input rows and candidates are a small
+            # fraction of capacity
+            S = min(2048, C)
+            rank = jnp.cumsum(assoc.valid.astype(jnp.int32)) - 1
+            slot_ok = assoc.valid & (rank < S)
+            dest = jnp.where(slot_ok, rank, S)
+            row_of_slot = jnp.full((S + 1,), -1, jnp.int32) \
+                .at[dest].set(jnp.arange(C, dtype=jnp.int32))[:S]
+            slot_valid = row_of_slot >= 0
+            row_s = jnp.maximum(row_of_slot, 0)
+            T_est, inl_s, n_inl, ok = pnp.solve_pnp_ransac(
+                k_pnp, state.positions[row_s],
+                feats.kpts[assoc.kp_idx[row_s]], slot_valid, Kj,
+                fc.ransac_thresh, Tcw_init=T_pred,
+                n_hyp=fc.ransac_hypotheses)
+            inl = jnp.zeros((C,), bool).at[row_s].max(inl_s & slot_valid)
+            use_pnp = ok & (n_inl >= fc.pnp_min_inliers) & \
+                (n_cand >= fc.pnp_min_inliers)
+            return use_pnp, T_est, inl, n_inl, n_cand, assoc
+
+        first = attempt(jnp.float32(fc.proj_radius))
+        if fc.assoc_wide_factor > 1.0:
+            # widened-window retry on failure (ORB-SLAM's recovery): the
+            # const-vel seed cannot predict yaw ONSET, whose rotation flow
+            # exceeds proj_radius on the first turning frame — the wide
+            # pass runs only on failing frames (lax.cond takes one branch)
+            use_pnp, T_est, inl, n_inl, n_cand, assoc = jax.lax.cond(
+                first[0], lambda _: first,
+                lambda _: attempt(jnp.float32(
+                    fc.proj_radius * fc.assoc_wide_factor)), None)
+        else:
+            use_pnp, T_est, inl, n_inl, n_cand, assoc = first
 
         def fallback(_):
             """Recovery chain on PnP failure: (1) RELOCALIZE — match the

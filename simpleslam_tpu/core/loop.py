@@ -194,8 +194,14 @@ class LoopCloser:
         Tq = np.asarray(kfq.pose, np.float64)
         Xc = (Tc[:3, :3] @ np.asarray(Xw_c).T).T + Tc[:3, 3]
         Xq = (Tq[:3, :3] @ np.asarray(Xw_q).T).T + Tq[:3, 3]
+        # per-side thresholds in each cloud's OWN scale (monocular scale is
+        # arbitrary and the two map regions may have drifted apart in scale;
+        # the RANSAC gates symmetrically: fwd error vs the query threshold,
+        # bwd error vs the candidate threshold)
         depth = float(np.median(Xc[:, 2]))
-        thresh = float(cfg.loop_ransac_thresh) * max(abs(depth), 1e-3)
+        depth_q = float(np.median(Xq[:, 2]))
+        thresh_c = float(cfg.loop_ransac_thresh) * max(abs(depth), 1e-3)
+        thresh_q = float(cfg.loop_ransac_thresh) * max(abs(depth_q), 1e-3)
 
         cap = 1 << (max(n, 64) - 1).bit_length()         # pow2 pad: jit reuse
         Xc_p = np.zeros((cap, 3), np.float32)
@@ -204,7 +210,8 @@ class LoopCloser:
         Xc_p[:n], Xq_p[:n], val[:n] = Xc, Xq, True
         S, _inl, n_inl, ok = sim3.sim3_ransac_3d3d(
             key, jnp.asarray(Xc_p), jnp.asarray(Xq_p), jnp.asarray(val),
-            thresh, n_hyp=int(getattr(cfg, "ransac_hypotheses", 256)))
+            thresh_q, thresh_c,
+            n_hyp=int(getattr(cfg, "ransac_hypotheses", 256)))
         n_inl = int(n_inl)
         if not bool(ok) or n_inl < int(cfg.loop_min_inliers):
             logger.info("[LOOP] cand %d rejected (%d/%d inliers)",

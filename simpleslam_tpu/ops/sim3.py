@@ -197,35 +197,43 @@ def umeyama(X: jax.Array, Y: jax.Array, w: jax.Array) -> Sim3:
 @partial(jax.jit, static_argnames=("n_hyp",))
 @highest_precision
 def sim3_ransac_3d3d(key: jax.Array, X: jax.Array, Y: jax.Array,
-                     valid: jax.Array, thresh: float, *,
+                     valid: jax.Array, thresh: float,
+                     thresh_src: float | None = None, *,
                      n_hyp: int = 256):
     """Robust Sim(3) from padded 3D-3D correspondences (X_i -> Y_i).
 
     The geometric-verification core of loop closure (ORB-SLAM verifies loop
     candidates with a 3-point RANSAC over map-point pairs; here all ``n_hyp``
-    minimal Umeyama fits + scoring run as one batched program). Residual is
-    the SYMMETRIC alignment error max(|S.x - y|, |S^-1.y - x| * s) so scale
-    hypotheses cannot cheat by shrinking the cloud.
+    minimal Umeyama fits + scoring run as one batched program).
+
+    The inlier gate is SYMMETRIC and each side is thresholded in its OWN
+    frame's units: forward error |S.x - y| < ``thresh`` (target/Y units) AND
+    backward error |S^-1.y - x| < ``thresh_src`` (source/X units, default
+    ``thresh``). Both tests are needed: |S^-1.y - x| * s == |S.x - y|
+    algebraically, so any single-frame gate lets a degenerate hypothesis
+    shrink the source cloud onto a compact target cluster and claim every
+    pair as an inlier (measured on the square-loop fixture: s ~ 0.01-0.07
+    "fits" with 30-70 one-sided inliers outvoted the true alignment).
 
     Returns (Sim3, inliers (N,) bool, n_inliers, ok).
     """
+    if thresh_src is None:
+        thresh_src = thresh
     idx, ok_h = sample_minimal_sets(key, valid, 3, n_hyp)
     Xm = X[idx]                                        # (S, 3, 3)
     Ym = Y[idx]
     w3 = jnp.ones(idx.shape, X.dtype)
     models = jax.vmap(umeyama)(Xm, Ym, w3)
 
-    def residual(S: Sim3) -> jax.Array:
-        fwd = act(S, X[None])[0] - Y                   # (N, 3)
-        e_f = jnp.linalg.norm(fwd, axis=-1)
-        # backward error scaled into the target frame (symmetric gate)
-        bwd = act(inverse(S), Y[None])[0] - X
-        e_b = jnp.linalg.norm(bwd, axis=-1) * S.s
-        return jnp.maximum(e_f, e_b)
+    def inlier_mask(S: Sim3) -> jax.Array:
+        e_f = jnp.linalg.norm(act(S, X[None])[0] - Y, axis=-1)
+        # backward error in the SOURCE frame's units (no *s rescale — that
+        # would cancel back to e_f and void the symmetric gate)
+        e_b = jnp.linalg.norm(act(inverse(S), Y[None])[0] - X, axis=-1)
+        ok = (e_f < thresh) & (e_b < thresh_src)
+        return jnp.where(jnp.isfinite(e_f) & jnp.isfinite(e_b), ok, False)
 
-    errs = jax.vmap(residual)(models)                  # (S, N)
-    errs = jnp.where(jnp.isfinite(errs), errs, jnp.inf)
-    inl = (errs < thresh) & valid[None, :]
+    inl = jax.vmap(inlier_mask)(models) & valid[None, :]   # (S, N)
     scores = jnp.sum(inl.astype(jnp.int32), axis=1)
     scores = jnp.where(ok_h, scores, -1)
     best = jnp.argmax(scores)
@@ -233,14 +241,12 @@ def sim3_ransac_3d3d(key: jax.Array, X: jax.Array, Y: jax.Array,
     # IRLS polish: two weighted-Umeyama refits on the winning inlier set
     S_best = jax.tree.map(lambda m: m[best], models)
     for _ in range(2):
-        e = residual(S_best)
-        w = ((e < thresh) & valid).astype(X.dtype)
+        w = (inlier_mask(S_best) & valid).astype(X.dtype)
         S_ref = umeyama(X, Y, w)
         ok_ref = jnp.isfinite(log(S_ref)).all()
         S_best = jax.tree.map(
             lambda a, b: jnp.where(ok_ref, a, b), S_ref, S_best)
-    e = residual(S_best)
-    inliers = (e < thresh) & valid
+    inliers = inlier_mask(S_best) & valid
     n_inl = jnp.sum(inliers.astype(jnp.int32))
     ok = ok_h[0] & (n_inl >= 3)
     return S_best, inliers, n_inl, ok

@@ -265,35 +265,58 @@ class SLAMSystem:
 
         snap = self._map_snapshot()
         H, W = self.img_hw if self.img_hw else (10000, 10000)
-        assoc = pnp.reproject_and_match_2d3d(
-            snap["positions"], snap["alive"],
-            snap["desc"], snap["n_desc"],
-            feats.kpts, feats.desc, feats.valid,
-            jnp.asarray(self.K, jnp.float32), jnp.asarray(T_pred, jnp.float32),
-            img_w=int(W), img_h=int(H), radius_px=cfg.proj_radius,
-            max_hamm=cfg.match_max_hamm, max_l2=cfg.match_max_l2)
-        n_cand = int(np.asarray(assoc.valid).sum())
+        from simpleslam_tpu.core.fused import SITE_PNP
 
-        tracking_lost = True
-        if n_cand >= cfg.pnp_min_inliers:
+        def attempt(radius_px):
+            """One assoc+PnP pass; returns (T_est, inl, assoc) or
+            (None, why, assoc). radius_px is a traced scalar of the jitted
+            association program — a widened retry reuses the compile."""
+            assoc = pnp.reproject_and_match_2d3d(
+                snap["positions"], snap["alive"],
+                snap["desc"], snap["n_desc"],
+                feats.kpts, feats.desc, feats.valid,
+                jnp.asarray(self.K, jnp.float32),
+                jnp.asarray(T_pred, jnp.float32),
+                img_w=int(W), img_h=int(H), radius_px=radius_px,
+                max_hamm=cfg.match_max_hamm, max_l2=cfg.match_max_l2)
+            n_cand = int(np.asarray(assoc.valid).sum())
+            if n_cand < cfg.pnp_min_inliers:
+                return None, f"too few 2D-3D candidates ({n_cand})", assoc
             pts2d = feats.kpts[assoc.kp_idx]
-            from simpleslam_tpu.core.fused import SITE_PNP
             T_est, inl, n_inl, ok = pnp.solve_pnp_ransac(
-                self._site_key(frame_idx, SITE_PNP), snap["positions"], pts2d,
-                assoc.valid, jnp.asarray(self.K, jnp.float32),
-                cfg.ransac_thresh, Tcw_init=jnp.asarray(T_pred, jnp.float32),
+                self._site_key(frame_idx, SITE_PNP), snap["positions"],
+                pts2d, assoc.valid, jnp.asarray(self.K, jnp.float32),
+                cfg.ransac_thresh,
+                Tcw_init=jnp.asarray(T_pred, jnp.float32),
                 n_hyp=cfg.ransac_hypotheses)
             if bool(ok) and int(n_inl) >= cfg.pnp_min_inliers:
-                self.world_map.add_pose(np.asarray(T_est, np.float64),
-                                        is_keyframe=False)
-                self.frame_ids.append(frame_idx)
-                self._refresh_rings(snap, assoc, inl, feats)
-                tracking_lost = False
+                return (T_est, inl), "", assoc
+            return None, (f"PnP rejected (inl={int(n_inl)} < "
+                          f"{cfg.pnp_min_inliers})"), assoc
+
+        hit, why, assoc = attempt(cfg.proj_radius)
+        wf = float(getattr(cfg, "assoc_wide_factor", 0.0))
+        if hit is None and wf > 1.0:
+            # widened-window retry (ORB-SLAM's recovery): covers prediction
+            # error beyond proj_radius — e.g. unmodelled yaw onset, whose
+            # rotation flow exceeds the window on the first corner frame
+            hit, why2, assoc = attempt(cfg.proj_radius * wf)
+            if hit is not None:
+                logger.info("[TRACK] wide-window retry recovered (%s at "
+                            "r=%.0f px)", why, cfg.proj_radius)
             else:
-                logger.info("[TRACK] PnP rejected (inl=%d < %d)",
-                            int(n_inl), cfg.pnp_min_inliers)
+                why = f"{why}; wide retry: {why2}"
+
+        tracking_lost = True
+        if hit is not None:
+            T_est, inl = hit
+            self.world_map.add_pose(np.asarray(T_est, np.float64),
+                                    is_keyframe=False)
+            self.frame_ids.append(frame_idx)
+            self._refresh_rings(snap, assoc, inl, feats)
+            tracking_lost = False
         else:
-            logger.info("[TRACK] too few 2D-3D candidates (%d)", n_cand)
+            logger.info("[TRACK] %s", why)
 
         if tracking_lost and cfg.reloc and self.kfs:
             with self.timer.stage("reloc"):

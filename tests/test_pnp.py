@@ -211,3 +211,51 @@ def test_reproject_and_match_respects_thresholds():
         jnp.ones(1, bool), K, jnp.eye(4),
         img_w=640, img_h=480, radius_px=5.0, max_hamm=64)
     assert not bool(out.valid[0])
+
+
+def test_wide_window_retry_recovers_yaw_onset():
+    """The widened-association retry (config.assoc_wide_factor): when yaw
+    ONSET makes the const-vel prediction miss by more than proj_radius
+    (first corner frame: ~15-22 px of rotation flow at fixture scale), the
+    narrow pass starves but the same compiled program re-run at
+    radius * factor associates nearly everything and PnP recovers the true
+    pose. Mirrors the fused/host drivers' retry (core/fused.py track,
+    run_slam._track)."""
+    rng = np.random.default_rng(7)
+    C = 128
+    X = np.stack([rng.uniform(-3, 3, C), rng.uniform(-2, 2, C),
+                  rng.uniform(6, 14, C)], 1).astype(np.float32)
+    # true camera: yawed by 2 deg (rotation flow ~ f*yaw = 17.5 px)
+    yaw = np.radians(2.0)
+    T_true = np.eye(4, dtype=np.float32)
+    T_true[:3, :3] = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                               [-np.sin(yaw), 0, np.cos(yaw)]], np.float32)
+    Xc = X @ T_true[:3, :3].T
+    uv = Xc @ np.asarray(K).T
+    kpts = (uv[:, :2] / uv[:, 2:3]).astype(np.float32)
+    inb = ((kpts[:, 0] >= 0) & (kpts[:, 0] < 640) &
+           (kpts[:, 1] >= 0) & (kpts[:, 1] < 480) & (Xc[:, 2] > 0))
+    descs = rng.integers(0, 256, (C, 32), np.uint8)
+    ring = np.zeros((C, 6, 32), np.uint8)
+    ring[:, 0] = descs
+    T_pred = jnp.eye(4)          # const-vel seed that missed the yaw onset
+
+    def attempt(radius_px):
+        return pnp.reproject_and_match_2d3d(
+            jnp.asarray(X), jnp.ones(C, bool), jnp.asarray(ring),
+            jnp.ones(C, np.int32), jnp.asarray(kpts), jnp.asarray(descs),
+            jnp.asarray(inb), K, T_pred,
+            img_w=640, img_h=480, radius_px=radius_px, max_hamm=64)
+
+    narrow = attempt(10.0)
+    wide = attempt(25.0)
+    n_narrow = int(np.asarray(narrow.valid).sum())
+    n_wide = int(np.asarray(wide.valid).sum())
+    assert n_narrow < 30                       # starved: PnP cannot run
+    assert n_wide >= 0.9 * inb.sum()           # retry recovers the frame
+    T_est, _inl, n_inl, ok = pnp.solve_pnp_ransac(
+        jax.random.PRNGKey(0), jnp.asarray(X),
+        jnp.asarray(kpts)[wide.kp_idx], wide.valid, K, 2.5,
+        Tcw_init=T_pred, n_hyp=128)
+    assert bool(ok) and int(n_inl) >= 30
+    assert _rot_err_deg(np.asarray(T_est)[:3, :3], T_true[:3, :3]) < 0.5

@@ -147,3 +147,54 @@ def test_sim3_ransac_too_few_points():
     _S, _inl, _n, ok = sim3.sim3_ransac_3d3d(
         jax.random.PRNGKey(0), X, Y, valid, 0.1, n_hyp=32)
     assert not bool(ok)
+
+
+def test_sim3_ransac_rejects_degenerate_shrink():
+    """The symmetric per-frame gate must kill the degenerate 'shrink the
+    source cloud onto a compact target cluster' mode. Construction: the
+    TARGET cloud is compact (radius ~ thresh), the source cloud is spread,
+    and the correspondences are pure noise (no true alignment). A one-sided
+    forward gate accepts s ~ 0 mapping everything into the cluster with N
+    'inliers'; the backward test (source units) must reject it. Measured on
+    the square-loop fixture: s = 0.008-0.07 fits with 30-70 one-sided
+    inliers outvoted true alignments before this gate."""
+    rng = np.random.default_rng(11)
+    N = 96
+    X = rng.normal(size=(N, 3)) * 10.0 + [0, 0, 30.0]   # spread source
+    Y = rng.normal(size=(N, 3)) * 0.4 + [0, 0, 8.0]     # compact target
+    thresh_y = 0.1 * 8.0                                 # frac * depth_q
+    thresh_x = 0.1 * 30.0                                # frac * depth_c
+    S, inl, n_inl, ok = sim3.sim3_ransac_3d3d(
+        jax.random.PRNGKey(2), jnp.asarray(X, jnp.float32),
+        jnp.asarray(Y, jnp.float32), jnp.ones(N, bool),
+        thresh_y, thresh_x, n_hyp=256)
+    # random correspondences: nothing resembling a consensus may survive
+    assert int(n_inl) < 10
+    # and in particular NOT the shrink fit (which would claim most of N)
+    assert not (int(n_inl) > N // 2)
+
+
+def test_sim3_ransac_scale_drift_with_per_frame_thresholds():
+    """A genuine revisit with 4x scale drift between the two map regions:
+    per-frame thresholds let RANSAC recover s ~ 0.25 exactly (the circle
+    fixture's measured drift regime)."""
+    rng = np.random.default_rng(12)
+    S_gt = sim3.Sim3(R=jnp.eye(3), t=jnp.asarray([0.5, -0.2, 1.0]),
+                     s=jnp.asarray(0.25))
+    N = 128
+    X = (rng.normal(size=(N, 3)) * 4.0 + [0, 0, 20.0]).astype(np.float32)
+    Y = np.array(sim3.act(S_gt, jnp.asarray(X)))
+    Y += rng.normal(size=(N, 3)) * 0.01
+    out = rng.random(N) < 0.3
+    Y[out] += rng.normal(size=(out.sum(), 3)) * 5.0
+    S, inl, n_inl, ok = sim3.sim3_ransac_3d3d(
+        jax.random.PRNGKey(3), jnp.asarray(X), jnp.asarray(Y, jnp.float32),
+        jnp.ones(N, bool),
+        0.05 * float(np.median(Y[:, 2])),        # query-frame threshold
+        0.05 * float(np.median(X[:, 2])),        # candidate-frame threshold
+        n_hyp=256)
+    assert bool(ok)
+    np.testing.assert_allclose(float(S.s), 0.25, rtol=0.03)
+    true_inl = ~out
+    assert (np.asarray(inl) & out).sum() <= 2
+    assert int(n_inl) >= 0.8 * true_inl.sum()
