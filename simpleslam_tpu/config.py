@@ -122,12 +122,18 @@ class SLAMConfig:
     loop_ransac_thresh: float = 0.10       # RANSAC threshold as a fraction of
                                            # the median candidate scene depth
                                            # (monocular scale is arbitrary)
-    loop_max_scale: float = 4.0            # plausibility gate on the measured
-                                           # Sim3 relative scale: reject if
-                                           # s or 1/s exceeds this (measured:
-                                           # a false-positive candidate passed
-                                           # RANSAC with s=0.024 and its PGO
-                                           # rewrite wrecked the trajectory)
+    loop_max_scale: float = 16.0           # sanity bound on the measured Sim3
+                                           # relative scale: reject if s or
+                                           # 1/s exceeds this. Degenerate
+                                           # shrink fits are killed by the
+                                           # symmetric per-frame RANSAC gate
+                                           # (ops/sim3.sim3_ransac_3d3d);
+                                           # this bound only guards the
+                                           # absurd tail. Measured: a GENUINE
+                                           # closure at s=0.089 (11x local
+                                           # monocular drift on the square
+                                           # fixture) cut ATE 5.16 -> 1.04 m
+                                           # — a 4.0 bound wrongly blocked it
     loop_weight: float = 4.0               # loop-edge weight in the pose graph
     loop_grid: int = 4                     # G x G descriptor pooling grid
     loop_topk: int = 2                     # candidates to geometric-verify
