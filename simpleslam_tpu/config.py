@@ -138,6 +138,17 @@ class SLAMConfig:
     loop_grid: int = 4                     # G x G descriptor pooling grid
     loop_topk: int = 2                     # candidates to geometric-verify
     loop_pgo_iters: int = 25               # LM iterations for the pose graph
+    # ---- global relocalization (kidnapped robot; beyond reference) --------
+    global_reloc: bool = True              # after sustained loss, PnP against
+                                           # place-recognition candidates over
+                                           # ALL keyframes (not just the last)
+    global_reloc_after: int = 3            # consecutive lost frames before the
+                                           # global search kicks in
+    global_reloc_topk: int = 3             # place candidates to PnP-verify
+    global_reloc_min_sim: float = 0.30     # place-vector cosine gate (looser
+                                           # than loop_min_sim: a wrong reloc
+                                           # candidate just fails PnP, it
+                                           # never rewrites the map)
     trace_dir: str = ""                    # jax profiler trace output dir
     prefetch: int = 1                      # threaded frame prefetch depth (0=off)
     save_state: str = ""                   # serialize pipeline state here at end/SIGINT
@@ -302,6 +313,18 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--loop_grid", type=int, default=d.loop_grid)
     g.add_argument("--loop_topk", type=int, default=d.loop_topk)
     g.add_argument("--loop_pgo_iters", type=int, default=d.loop_pgo_iters)
+    g.add_argument("--no_global_reloc", dest="global_reloc",
+                   action="store_false",
+                   help="Disable kidnapped-robot recovery (place-recognition "
+                        "PnP over ALL keyframes after sustained loss)")
+    g.add_argument("--global_reloc_after", type=int,
+                   default=d.global_reloc_after,
+                   help="Consecutive lost frames before the global "
+                        "place-recognition relocalization kicks in")
+    g.add_argument("--global_reloc_topk", type=int,
+                   default=d.global_reloc_topk)
+    g.add_argument("--global_reloc_min_sim", type=float,
+                   default=d.global_reloc_min_sim)
     g.add_argument("--trace_dir", default=d.trace_dir,
                    help="Write a jax profiler trace here (open with xprof)")
     g.add_argument("--prefetch", type=int, default=d.prefetch,

@@ -36,7 +36,11 @@ BA window fixes only cameras OLDER than the window (reference semantics,
 ba_utils.py:250-257), which leaves the monocular scale as a gauge freedom —
 host and fused runs land on slightly different points of that gauge orbit
 at each keyframe even with identical RNG (tests/test_fused.py bounds the
-effect; pre-keyframe tracking agrees to float noise).
+effect; pre-keyframe tracking agrees to float noise), (e) global
+relocalization verifies only the argmax place candidate over the Kw-slot
+ring (the host searches top-``global_reloc_topk`` over ALL keyframes) —
+one static-shape matcher+PnP under the cond keeps the lost-frame branch
+bounded.
 
 RNG: every random draw uses frame_key(base, frame_no, SITE) — identical to
 the host driver's derivation — so RANSAC outcomes match between modes.
@@ -69,6 +73,7 @@ _INF = jnp.float32(1e9)
 SITE_PNP, SITE_PREV_MATCH, SITE_ESS, SITE_RELOC = 0, 1, 2, 3
 SITE_KF_MATCH, SITE_KF_MATCH2 = 4, 5
 SITE_LOOP = 6
+SITE_GRELOC = 7
 
 
 def frame_key(base: jax.Array, frame_no, site: int) -> jax.Array:
@@ -94,8 +99,12 @@ class FusedState:
     kf_first_row: jax.Array   # (Kw,) i32 first map row created AT this KF
     kf_lm_row: jax.Array      # (Kw,N) i32 landmark row observed by each KF
                               # keypoint (-1 = none) — relocalization index
+    kf_place: jax.Array       # (Kw,P) f32 pooled-descriptor place vector per
+                              # ring slot — global-reloc candidate index
     kf_count: jax.Array       # () i32 number of keyframes so far
     last_kf_frame_no: jax.Array  # () i32
+    lost_streak: jax.Array    # () i32 consecutive untracked frames (global-
+                              # reloc trigger)
     # map
     positions: jax.Array      # (C,3) f32
     alive: jax.Array          # (C,) bool
@@ -135,6 +144,10 @@ class FusedConfig(NamedTuple):
     max_new: int          # per-KF new-landmark cap (static)
     tri_kf2: bool         # also triangulate vs the second-to-last KF
     reloc: bool           # keyframe 2D-3D relocalization on PnP failure
+    global_reloc: bool    # kidnapped-robot recovery over the whole KF ring
+    greloc_after: int     # consecutive lost frames before it kicks in
+    greloc_min_sim: float  # place-vector cosine gate
+    place_grid: int       # G x G descriptor pooling grid (config.loop_grid)
     ba_points: int        # L_ba window slice
     log_capacity: int     # Fcap
     # thresholds (baked into the jitted program)
@@ -174,6 +187,10 @@ def make_fused_config(cfg, img_hw: Tuple[int, int], n_kp: int,
         max_new=min(1024, int(n_kp)),
         tri_kf2=bool(getattr(cfg, "tri_kf2", False)),
         reloc=bool(getattr(cfg, "reloc", True)),
+        global_reloc=bool(getattr(cfg, "global_reloc", True)),
+        greloc_after=int(getattr(cfg, "global_reloc_after", 3)),
+        greloc_min_sim=float(getattr(cfg, "global_reloc_min_sim", 0.30)),
+        place_grid=int(getattr(cfg, "loop_grid", 4)),
         ba_points=min(int(getattr(cfg, "fused_ba_points", 0) or 4096),
                       int(cfg.map_capacity)),
         log_capacity=int(log_capacity),
@@ -246,6 +263,12 @@ def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
     kf_frame_no = np.full((Kw,), -1, np.int32)
     kf_first_row = np.zeros((Kw,), np.int32)
     kf_lm_row = np.full((Kw, N), -1, np.int32)
+    # place-vector dim: binary descriptors pool as unpacked bits
+    Dp = D * 8 if np.issubdtype(desc_dtype, np.unsignedinteger) else D
+    P = fc.place_grid * fc.place_grid * Dp
+    kf_place = np.zeros((Kw, P), np.float32)
+    img_hw = (fc.img_h, fc.img_w)
+    from simpleslam_tpu.core.loop import place_vector
     for kf in kfs[-Kw:]:
         s = kf.idx % Kw
         kf_pose[s] = np.asarray(kf.pose, np.float32)
@@ -255,6 +278,7 @@ def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
         kf_frame_no[s] = kf.frame_idx
         rows = np.flatnonzero(created == kf.idx)
         kf_first_row[s] = int(rows.min()) if rows.size else len(wm)
+        kf_place[s] = place_vector(kf.feats, img_hw, fc.place_grid)
     # keypoint -> landmark-row index per live KF (from the observation table)
     for row, pid in enumerate(wm.points.keys()):
         for (kf_idx, kp_idx, _d) in wm.points[pid].observations[:O]:
@@ -278,8 +302,10 @@ def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
         kf_frame_no=jnp.asarray(kf_frame_no),
         kf_first_row=jnp.asarray(kf_first_row),
         kf_lm_row=jnp.asarray(kf_lm_row),
+        kf_place=jnp.asarray(kf_place),
         kf_count=jnp.int32(len(kfs)),
         last_kf_frame_no=jnp.int32(system.last_kf_frame_no),
+        lost_streak=jnp.int32(getattr(system, "_lost_streak", 0)),
         positions=jnp.asarray(snap["positions"]),
         alive=jnp.asarray(snap["alive"]),
         desc_ring=jnp.asarray(snap["desc"]),
@@ -503,6 +529,30 @@ def build_fused_step(fc: FusedConfig,
                         scores=jnp.zeros((N,), jnp.float32),
                         valid=state.kf_valid[slot])
 
+    def place_vec(feats: Features) -> jax.Array:
+        """(P,) pooled-descriptor place vector — the device twin of
+        core/loop._pool_place_vector (same G x G pooling, same
+        MSB-first bit unpack for binary descriptors, so cosines against
+        the host-initialized ``kf_place`` rows are consistent)."""
+        G = fc.place_grid
+        desc = feats.desc
+        if jnp.issubdtype(desc.dtype, jnp.unsignedinteger):
+            desc = jnp.unpackbits(desc, axis=1)
+        desc = desc.astype(jnp.float32)
+        cx = jnp.clip((feats.kpts[:, 0] / fc.img_w * G).astype(jnp.int32),
+                      0, G - 1)
+        cy = jnp.clip((feats.kpts[:, 1] / fc.img_h * G).astype(jnp.int32),
+                      0, G - 1)
+        cell = cy * G + cx
+        oh = ((cell[:, None] == jnp.arange(G * G)[None, :])
+              & feats.valid[:, None]).astype(jnp.float32)
+        sums = oh.T @ desc                                     # (G2, Dp)
+        cnt = jnp.maximum(jnp.sum(oh, axis=0), 1.0)[:, None]
+        cv = sums / cnt
+        cv = cv / (jnp.linalg.norm(cv, axis=1, keepdims=True) + 1e-8)
+        v = cv.reshape(-1)
+        return v / (jnp.linalg.norm(v) + 1e-8)
+
     def match_ransac(key, f0: Features, f1: Features) -> Matches:
         """feature_matcher + F-RANSAC filter, fully on device (the host
         `frontend.match_with_ransac` without the scalar readbacks; keeps the
@@ -585,9 +635,13 @@ def build_fused_step(fc: FusedConfig,
             current frame against the last keyframe and PnP on the
             landmark rows its keypoints observe (the 'trigger
             relocalization here in the future' the reference left
-            unimplemented, main_revamped.py:501); (2) 2D-2D essential with
-            const-velocity scale (main_revamped.py:502-542); (3)
-            dead-reckon."""
+            unimplemented, main_revamped.py:501); (2) after
+            ``greloc_after`` consecutive lost frames, GLOBAL reloc —
+            place-recognition argmax over the whole KF ring + PnP with
+            the candidate's own pose as the initial guess (kidnapped
+            robot; beyond reference); (3) 2D-2D essential with
+            const-velocity scale (main_revamped.py:502-542); (4)
+            dead-reckon. Returns (T, relocd, grelocd)."""
             def essential(_):
                 matches_prev = match_ransac(k_match, features_of(state),
                                             feats)
@@ -602,10 +656,47 @@ def build_fused_step(fc: FusedConfig,
                 scale = jnp.linalg.norm(T_rel_last[:3, 3])
                 T_rel = se3.rt_to_T(R, t * scale)
                 T_fb = T_rel @ state.Tcw
-                return jnp.where(e_ok, T_fb, state.Tcw), jnp.asarray(False)
+                return (jnp.where(e_ok, T_fb, state.Tcw),
+                        jnp.asarray(False), jnp.asarray(False))
+
+            def greloc(_):
+                """Global relocalization: best place-vector cosine over
+                the ring (the last KF slot is excluded — its targeted
+                reloc just failed), then the same 2D-3D PnP with the
+                CANDIDATE's pose as init (after sustained loss the
+                motion-model prediction is meaningless)."""
+                v = place_vec(feats)
+                sims = state.kf_place @ v
+                live = (state.kf_frame_no >= 0) & \
+                    (jnp.arange(Kw) != (state.kf_count - 1) % Kw)
+                sims = jnp.where(live, sims, -2.0)
+                best = jnp.argmax(sims).astype(jnp.int32)
+                ok_sim = sims[best] >= fc.greloc_min_sim
+                m_g = match_fn(kf_features(state, best), feats)
+                rows_g = state.kf_lm_row[best][m_g.idx0]
+                rows_gs = jnp.maximum(rows_g, 0)
+                ok_g = m_g.valid & (rows_g >= 0) & state.alive[rows_gs] & \
+                    (rows_gs < state.n_points)
+                k_g = frame_key(state.key, frame_no, SITE_GRELOC)
+                T_g, _inl_g, n_g, okp = pnp.solve_pnp_ransac(
+                    k_g, state.positions[rows_gs], feats.kpts[m_g.idx1],
+                    ok_g, Kj, fc.ransac_thresh,
+                    Tcw_init=state.kf_pose[best],
+                    n_hyp=fc.ransac_hypotheses)
+                use_g = ok_sim & okp & (n_g >= fc.pnp_min_inliers)
+                return jax.lax.cond(
+                    use_g,
+                    lambda _: (T_g, jnp.asarray(False), jnp.asarray(True)),
+                    essential, None)
+
+            def greloc_or_essential(_):
+                if not fc.global_reloc:
+                    return essential(None)
+                do_g = (state.lost_streak + 1) >= fc.greloc_after
+                return jax.lax.cond(do_g, greloc, essential, None)
 
             if not fc.reloc:
-                return essential(None)
+                return greloc_or_essential(None)
 
             slot = (state.kf_count - 1) % Kw
             m = match_fn(kf_features(state, slot), feats)
@@ -619,11 +710,15 @@ def build_fused_step(fc: FusedConfig,
                 n_hyp=fc.ransac_hypotheses)
             use_r = ok2 & (n_r >= fc.pnp_min_inliers)
             return jax.lax.cond(
-                use_r, lambda _: (T_r, jnp.asarray(True)), essential, None)
+                use_r,
+                lambda _: (T_r, jnp.asarray(True), jnp.asarray(False)),
+                greloc_or_essential, None)
 
-        T_new, relocd = jax.lax.cond(
-            use_pnp, lambda _: (T_est, jnp.asarray(False)), fallback, None)
-        return T_new, use_pnp, relocd, n_inl, n_cand, assoc, inl
+        T_new, relocd, grelocd = jax.lax.cond(
+            use_pnp,
+            lambda _: (T_est, jnp.asarray(False), jnp.asarray(False)),
+            fallback, None)
+        return T_new, use_pnp, relocd, grelocd, n_inl, n_cand, assoc, inl
 
     def refresh_rings(state, assoc, inl, feats, frame_no):
         """Scatter this frame's PnP-inlier descriptors into the landmark
@@ -929,6 +1024,7 @@ def build_fused_step(fc: FusedConfig,
                 kf_frame_no=state.kf_frame_no.at[slot].set(frame_no),
                 kf_first_row=state.kf_first_row.at[slot].set(state.n_points),
                 kf_lm_row=state.kf_lm_row.at[slot].set(lm_init),
+                kf_place=state.kf_place.at[slot].set(place_vec(feats)),
             )
             kf_no_prev = state.kf_count - 1
             cands = [tri_candidates(state, feats, kf_m, prev_slot)
@@ -986,11 +1082,15 @@ def build_fused_step(fc: FusedConfig,
 
         feats = extract_fn(img)
 
-        T_new, pnp_ok, relocd, n_inl, n_cand, assoc, inl = track(
+        T_new, pnp_ok, relocd, grelocd, n_inl, n_cand, assoc, inl = track(
             state, feats, frame_no)
-        tracked = pnp_ok | relocd
+        tracked = pnp_ok | relocd | grelocd
 
-        state = state.replace(Tcw_prev=state.Tcw, Tcw=T_new)
+        # after a global-reloc jump the const-vel "velocity" between the
+        # two latest poses is meaningless — zero it
+        state = state.replace(
+            Tcw_prev=jnp.where(grelocd, T_new, state.Tcw), Tcw=T_new,
+            lost_streak=jnp.where(tracked, 0, state.lost_streak + 1))
         state = jax.lax.cond(
             pnp_ok, lambda s: refresh_rings(s, assoc, inl, feats, frame_no),
             lambda s: s, state)

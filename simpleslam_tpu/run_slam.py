@@ -115,6 +115,9 @@ class SLAMSystem:
         self._trackbook = None
         self._snap_cache = None
         self.loop_closer = None        # created on demand (--loop_closure)
+        self._lost_streak = 0          # consecutive lost frames (greloc gate)
+        self._vel_reset = False        # zero the motion model after a reloc jump
+        self._place_vecs: List[np.ndarray] = []   # per-KF place vectors
         self._key = jax.random.PRNGKey(cfg.seed)
         self._base_key = jax.random.PRNGKey(cfg.seed)
         self._undistort_maps = None
@@ -259,9 +262,15 @@ class SLAMSystem:
         poses = self.world_map.poses
         T_prev = poses[-1]
         T_prevprev = poses[-2] if len(poses) >= 2 else poses[-1]
-        T_pred = np.asarray(pnp.predict_pose_const_vel(
-            jnp.asarray(T_prevprev, jnp.float32),
-            jnp.asarray(T_prev, jnp.float32)), np.float64)
+        if self._vel_reset:
+            # the two latest poses straddle a relocalization jump — the
+            # const-vel "velocity" between them is meaningless
+            T_pred = T_prev.copy()
+            self._vel_reset = False
+        else:
+            T_pred = np.asarray(pnp.predict_pose_const_vel(
+                jnp.asarray(T_prevprev, jnp.float32),
+                jnp.asarray(T_prev, jnp.float32)), np.float64)
 
         snap = self._map_snapshot()
         H, W = self.img_hw if self.img_hw else (10000, 10000)
@@ -322,19 +331,23 @@ class SLAMSystem:
             with self.timer.stage("reloc"):
                 if self._relocalize(frame_idx, feats, T_pred):
                     tracking_lost = False
+        if (tracking_lost and cfg.global_reloc and self.kfs
+                and self._lost_streak + 1 >= cfg.global_reloc_after):
+            with self.timer.stage("greloc"):
+                if self._global_relocalize(frame_idx, feats):
+                    tracking_lost = False
         if tracking_lost:
             self.tracking_lost_count += 1
             self._fallback_2d2d(frame_idx, feats, prev_feats, matches_prev)
+        self._lost_streak = self._lost_streak + 1 if tracking_lost else 0
         return not tracking_lost
 
-    def _relocalize(self, frame_idx: int, feats: Features,
-                    T_pred: np.ndarray) -> bool:
-        """Keyframe 2D-3D relocalization: match the current frame against
-        the last keyframe, PnP on the landmarks its keypoints observe (the
-        reference's unimplemented 'trigger relocalization here in the
-        future' hook, main_revamped.py:501)."""
+    def _pnp_against_kf(self, frame_idx: int, feats: Features, kf,
+                        T_init: np.ndarray, site: Optional[int] = None):
+        """Match the current frame against one keyframe and PnP on the
+        landmarks its keypoints observe. Returns (T_cw, n_inliers, n_pairs)
+        or None. Shared core of local and global relocalization."""
         cfg = self.cfg
-        kf = self.kfs[-1]
         m = frontend.feature_matcher(cfg, kf.feats, feats, self.matcher)
         kp2pid = {}
         for pid, mp in self.world_map.points.items():
@@ -353,7 +366,7 @@ class SLAMSystem:
                     self.world_map.points[pid].position, np.float32))
                 pts2d.append(kpts[int(b)])
         if len(pts3d) < cfg.pnp_min_inliers:
-            return False
+            return None
         M = len(pts3d)
         Mp = 1 << (max(M, 8) - 1).bit_length()      # pow2 pad: jit reuse
         P3 = np.zeros((Mp, 3), np.float32)
@@ -363,18 +376,71 @@ class SLAMSystem:
         val = np.zeros(Mp, bool)
         val[:M] = True
         from simpleslam_tpu.core.fused import SITE_RELOC
+        if site is None:
+            site = SITE_RELOC
         T_r, _inl, n_inl, ok = pnp.solve_pnp_ransac(
-            self._site_key(frame_idx, SITE_RELOC), jnp.asarray(P3),
+            self._site_key(frame_idx, site), jnp.asarray(P3),
             jnp.asarray(P2),
             jnp.asarray(val), jnp.asarray(self.K, jnp.float32),
-            cfg.ransac_thresh, Tcw_init=jnp.asarray(T_pred, jnp.float32),
+            cfg.ransac_thresh, Tcw_init=jnp.asarray(T_init, jnp.float32),
             n_hyp=cfg.ransac_hypotheses)
         if bool(ok) and int(n_inl) >= cfg.pnp_min_inliers:
-            self.world_map.add_pose(np.asarray(T_r, np.float64),
-                                    is_keyframe=False)
+            return np.asarray(T_r, np.float64), int(n_inl), M
+        return None
+
+    def _relocalize(self, frame_idx: int, feats: Features,
+                    T_pred: np.ndarray) -> bool:
+        """Keyframe 2D-3D relocalization: match the current frame against
+        the last keyframe, PnP on the landmarks its keypoints observe (the
+        reference's unimplemented 'trigger relocalization here in the
+        future' hook, main_revamped.py:501)."""
+        kf = self.kfs[-1]
+        hit = self._pnp_against_kf(frame_idx, feats, kf, T_pred)
+        if hit is None:
+            return False
+        T_r, n_inl, M = hit
+        self.world_map.add_pose(T_r, is_keyframe=False)
+        self.frame_ids.append(frame_idx)
+        logger.info("[RELOC] recovered pose via KF %d (inliers=%d/%d)",
+                    kf.idx, n_inl, M)
+        return True
+
+    def _global_relocalize(self, frame_idx: int, feats: Features) -> bool:
+        """Kidnapped-robot recovery (beyond reference): place-recognition
+        candidates over ALL keyframes (pooled-descriptor cosine, the loop-
+        closure place vectors), then 2D-3D PnP against each candidate with
+        the CANDIDATE's own pose as the initial guess — after sustained
+        loss the motion-model prediction is meaningless. A wrong candidate
+        simply fails the PnP inlier gate; it never rewrites anything."""
+        cfg = self.cfg
+        if self.img_hw is None:
+            logger.debug("[GRELOC] no image size known; skipping")
+            return False
+        from simpleslam_tpu.core.loop import place_vector
+        while len(self._place_vecs) < len(self.kfs):
+            kf = self.kfs[len(self._place_vecs)]
+            self._place_vecs.append(
+                place_vector(kf.feats, self.img_hw, cfg.loop_grid))
+        vec = place_vector(feats, self.img_hw, cfg.loop_grid)
+        sims = np.stack(self._place_vecs) @ vec
+        order = np.argsort(-sims)[: int(cfg.global_reloc_topk)]
+        for cand in order:
+            if sims[cand] < cfg.global_reloc_min_sim:
+                break
+            kf = self.kfs[int(cand)]
+            from simpleslam_tpu.core.fused import SITE_GRELOC
+            hit = self._pnp_against_kf(frame_idx, feats, kf,
+                                       np.asarray(kf.pose, np.float64),
+                                       site=SITE_GRELOC)
+            if hit is None:
+                continue
+            T_r, n_inl, M = hit
+            self.world_map.add_pose(T_r, is_keyframe=False)
             self.frame_ids.append(frame_idx)
-            logger.info("[RELOC] recovered pose via KF %d (inliers=%d/%d)",
-                        kf.idx, int(n_inl), M)
+            self._vel_reset = True    # const-vel across the jump is garbage
+            logger.info("[GRELOC] kidnapped-robot recovery via KF %d "
+                        "(sim=%.3f, inliers=%d/%d)", kf.idx,
+                        float(sims[cand]), n_inl, M)
             return True
         return False
 

@@ -75,4 +75,12 @@ def test_box_scene_e2e_classical(tmp_path_factory, tmp_path, monkeypatch):
     res = run(cfg)
     assert len(res.poses_cw) == 12
     assert res.n_landmarks > 50
-    assert res.ate is not None and res.ate < 1.0
+    assert res.tracking_lost_count == 0
+    # ATE bound re-measured after the renderer gained intrinsics
+    # auto-rescale (the 180x410 fixture dropped from KITTI's 707 px focal
+    # to a true ~236 px — at that focal + sparse box depth, per-frame PnP
+    # along the optical axis is weakly observable and the pose jitters).
+    # Measured across seeds 21/22/23: ATE 1.26 / 1.21 / 0.92 m, 0 lost.
+    # This is a bootstraps-and-tracks smoke bound, not a quality headline —
+    # the full-scale quality rows live in BASELINE.md.
+    assert res.ate is not None and res.ate < 1.8
