@@ -81,6 +81,15 @@ class SLAMConfig:
     gba_max_points: Optional[int] = None
     gba_max_iters: int = 30
     gba_fix_first: int = 1
+    # The reference scaffolds the GBA milestone but leaves the body `pass`
+    # (main_revamped.py:597-614). Off by default for parity; --gba_enable
+    # actually runs the on-device Schur-LM solver over the whole map at the
+    # gba_every milestone and as a polish pass after accepted loop closures.
+    gba_enable: bool = False
+    # Pure localization against a map loaded with --resume: the map is
+    # frozen (no keyframes/triangulation/BA/descriptor-ring updates) and the
+    # first pose comes from kidnapped-robot global relocalization.
+    localize_only: bool = False
 
     # ---- hard-coded reference constants surfaced as config (SURVEY.md §5) --
     bootstrap_min_posdepth: float = 0.90   # main_revamped.py:358-362
@@ -267,6 +276,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="LM iterations for GBA")
     p.add_argument("--gba_fix_first", type=int, default=d.gba_fix_first,
                    help="1=fix first KF to anchor gauge, 0=free")
+    p.add_argument("--gba_enable", action="store_true",
+                   help="Actually run global BA at the gba_every milestone "
+                        "and after accepted loop closures (the reference "
+                        "scaffolds this but leaves the body disabled, "
+                        "main_revamped.py:597-614)")
 
     # --- TPU-native extensions ---
     g = p.add_argument_group("tpu")
@@ -325,6 +339,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.global_reloc_topk)
     g.add_argument("--global_reloc_min_sim", type=float,
                    default=d.global_reloc_min_sim)
+    g.add_argument("--localize_only", action="store_true",
+                   help="Pure localization against the map loaded with "
+                        "--resume: the map is frozen (no new keyframes, "
+                        "triangulation, BA, loop closure or descriptor-ring "
+                        "updates); the first pose comes from kidnapped-robot "
+                        "global relocalization, then PnP tracking")
     g.add_argument("--trace_dir", default=d.trace_dir,
                    help="Write a jax profiler trace here (open with xprof)")
     g.add_argument("--prefetch", type=int, default=d.prefetch,

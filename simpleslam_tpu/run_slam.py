@@ -38,7 +38,8 @@ import numpy as np
 
 from simpleslam_tpu.config import SLAMConfig, parse_config
 from simpleslam_tpu.core import frontend
-from simpleslam_tpu.core.ba import local_bundle_adjustment
+from simpleslam_tpu.core.ba import (global_bundle_adjustment,
+                                    local_bundle_adjustment)
 from simpleslam_tpu.core.bootstrap import InitParams, bootstrap_two_view_map
 from simpleslam_tpu.core.keyframe import Keyframe, make_thumb, select_keyframe
 from simpleslam_tpu.core.map import Map
@@ -90,6 +91,7 @@ class SLAMResult:
     map_compactions: int = 0    # fused-mode eviction passes (long sequences)
     kf_frames: List[int] = field(default_factory=list)  # KF source frame ids
     loop_closures: int = 0      # accepted loop closures (--loop_closure)
+    gba_runs: int = 0           # completed global-BA solves (--gba_enable)
 
 
 class SLAMSystem:
@@ -115,6 +117,7 @@ class SLAMSystem:
         self._trackbook = None
         self._snap_cache = None
         self.loop_closer = None        # created on demand (--loop_closure)
+        self.gba_runs = 0              # completed global BA solves (--gba_enable)
         self._lost_streak = 0          # consecutive lost frames (greloc gate)
         self._vel_reset = False        # zero the motion model after a reloc jump
         self._place_vecs: List[np.ndarray] = []   # per-KF place vectors
@@ -322,7 +325,8 @@ class SLAMSystem:
             self.world_map.add_pose(np.asarray(T_est, np.float64),
                                     is_keyframe=False)
             self.frame_ids.append(frame_idx)
-            self._refresh_rings(snap, assoc, inl, feats)
+            if not cfg.localize_only:   # rings are map state: frozen there
+                self._refresh_rings(snap, assoc, inl, feats)
             tracking_lost = False
         else:
             logger.info("[TRACK] %s", why)
@@ -545,10 +549,36 @@ class SLAMSystem:
             if self.loop_closer is None:
                 self.loop_closer = LoopCloser(cfg, self.K, self.matcher)
             with self.timer.stage("loop"):
-                self.loop_closer.on_new_keyframe(
+                lc = self.loop_closer.on_new_keyframe(
                     self.kfs, self.world_map, self.img_hw,
                     self._site_key(frame_idx, SITE_LOOP))
+            if lc is not None and cfg.gba_enable:
+                # Polish the PGO-rewritten map with a full metric BA: the
+                # Sim(3) graph solve corrects poses/scale but leaves each
+                # landmark at its per-segment transformed position.
+                self.run_global_ba()
         return len(new_ids)
+
+    def run_global_ba(self) -> bool:
+        """Full-map Schur-LM BA (--gba_enable). The reference scaffolds this
+        milestone but disables it (main_revamped.py:597-614); here it is a
+        working opt-in."""
+        if len(self.kfs) < 2 or self.cfg.localize_only:
+            return False
+        cfg = self.cfg
+        try:
+            with self.timer.stage("gba"):
+                ok = global_bundle_adjustment(
+                    self.world_map, self.K, self.kfs,
+                    max_points=cfg.gba_max_points,
+                    max_iters=cfg.gba_max_iters,
+                    fix_first=bool(cfg.gba_fix_first))
+        except Exception as e:  # BA must never kill tracking (parity)
+            logger.warning("[Global BA] failed: %s", e)
+            return False
+        if ok:
+            self.gba_runs += 1
+        return ok
 
     # ------------------------------------------------------------ main step
     def process_frame(self, frame_idx: int, img: np.ndarray,
@@ -559,6 +589,12 @@ class SLAMSystem:
             self.img_hw = img.shape[:2]
         with self.timer.stage("extract"):
             feats = self.extract(img)
+        if self.cfg.localize_only and not self.world_map.poses:
+            # frozen-map localization starts kidnapped: the first pose must
+            # come from place recognition, not bootstrap or a motion model
+            with self.timer.stage("greloc"):
+                self._global_relocalize(frame_idx, feats)
+            return feats
         if prev_feats is None:
             if not self.initialised:
                 self.bs.seed(frame_idx, feats, img)
@@ -577,7 +613,8 @@ class SLAMSystem:
         with self.timer.stage("track"):
             self._track(frame_idx, feats, prev_feats, matches_prev)
         with self.timer.stage("keyframe"):
-            self._maybe_keyframe(frame_idx, img, feats)
+            if not self.cfg.localize_only:   # the map is frozen in that mode
+                self._maybe_keyframe(frame_idx, img, feats)
 
         if self.want_viz:
             from simpleslam_tpu.viz.windows import TrackBook
@@ -593,10 +630,11 @@ class SLAMSystem:
                                   i0, i1, mv)
         self._prev_img = img
 
-        # Global BA milestone — scaffolded but DISABLED, like the reference
-        # (main_revamped.py:597-614).
+        # Global BA milestone — scaffolded but DISABLED by default, like the
+        # reference (main_revamped.py:597-614); --gba_enable makes it real.
         if self.cfg.gba_every and frame_idx % self.cfg.gba_every == 0:
-            pass
+            if self.cfg.gba_enable and self.initialised:
+                self.run_global_ba()
         return feats
 
 
@@ -650,6 +688,10 @@ def _run_fused_loop(cfg: SLAMConfig, seq: Sequence, system: "SLAMSystem",
                         system.kfs, system.world_map, system.img_hw,
                         system._site_key(int(host["log_n"]), SITE_LOOP))
                     if closed is not None:
+                        if cfg.gba_enable:
+                            # polish the PGO rewrite with a full metric BA
+                            # before it is pushed back to the device
+                            system.run_global_ba()
                         # push the corrected map/poses back to the device
                         state = apply_host_correction(state, system, fc,
                                                       host)
@@ -672,9 +714,11 @@ def _run_fused_loop(cfg: SLAMConfig, seq: Sequence, system: "SLAMSystem",
             if system.loop_closer is None:
                 from simpleslam_tpu.core.loop import LoopCloser
                 system.loop_closer = LoopCloser(cfg, system.K, system.matcher)
-            system.loop_closer.scan(
+            closed = system.loop_closer.scan(
                 system.kfs, system.world_map, system.img_hw,
                 system._site_key(int(host["log_n"]) + 1, SITE_LOOP))
+            if closed is not None and cfg.gba_enable:
+                system.run_global_ba()
 
 
 def _show_driver_windows(system: "SLAMSystem") -> None:
@@ -738,6 +782,10 @@ def run(cfg: SLAMConfig) -> SLAMResult:
     t_start = time.perf_counter()
     n = len(seq)
     start_idx = 1
+    if cfg.localize_only and not cfg.resume:
+        raise ValueError("--localize_only needs a map: pass --resume <state>")
+    if cfg.localize_only and cfg.fused:
+        raise ValueError("--localize_only runs the host driver (drop --fused)")
     if cfg.resume:
         from simpleslam_tpu.utils.serialize import load_state
 
@@ -747,14 +795,30 @@ def run(cfg: SLAMConfig) -> SLAMResult:
         system.frame_ids = frame_ids
         system.initialised = len(kfs) >= 2
         system.last_kf_frame_no = kfs[-1].frame_idx if kfs else -999
-        last = frame_ids[-1] if frame_ids else 0
-        img_last = system.preprocess(seq.frame(last))
-        prev_feats = system.extract(img_last)
-        system._prev_img = img_last
-        start_idx = last + 1
-        logger.info("resumed from %s: %d poses, %d KFs, %d landmarks; "
-                    "continuing at frame %d", cfg.resume,
-                    len(m.poses), len(kfs), len(m), start_idx)
+        if cfg.localize_only:
+            # frozen-map localization: keep landmarks + keyframes, discard
+            # the mapping run's trajectory — this run's poses start from
+            # kidnapped-robot global relocalization on the given sequence
+            if not kfs:
+                raise ValueError("resumed state has no keyframes to "
+                                 "localize against")
+            system.world_map.poses = []
+            system.world_map.keyframe_indices = []
+            system.frame_ids = []
+            system.initialised = True
+            prev_feats = system.process_frame(0, seq.frame(0), None)
+            start_idx = 1
+            logger.info("localize-only against %s: %d KFs, %d landmarks "
+                        "(map frozen)", cfg.resume, len(kfs), len(m))
+        else:
+            last = frame_ids[-1] if frame_ids else 0
+            img_last = system.preprocess(seq.frame(last))
+            prev_feats = system.extract(img_last)
+            system._prev_img = img_last
+            start_idx = last + 1
+            logger.info("resumed from %s: %d poses, %d KFs, %d landmarks; "
+                        "continuing at frame %d", cfg.resume,
+                        len(m.poses), len(kfs), len(m), start_idx)
     else:
         prev_feats = system.process_frame(0, img0, None)
 
@@ -830,7 +894,8 @@ def run(cfg: SLAMConfig) -> SLAMResult:
                    for i in system.world_map.keyframe_indices
                    if i < len(system.frame_ids)],
         loop_closures=(len(system.loop_closer.closures)
-                       if system.loop_closer is not None else 0))
+                       if system.loop_closer is not None else 0),
+        gba_runs=system.gba_runs)
 
     out_png = f"trajectory_{cfg.dataset}.png"
     try:
