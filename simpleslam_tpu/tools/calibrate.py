@@ -196,6 +196,10 @@ def main(argv=None) -> int:
     p.add_argument("--pattern", type=int, nargs=2, default=[9, 6])
     p.add_argument("--square", type=float, default=0.024)
     p.add_argument("--out", default="calibration.pkl")
+    p.add_argument("--fit_k3", action="store_true",
+                   help="fit the 6th-order radial term (cv2.calibrateCamera "
+                        "does; needs strong distortion + wide field coverage)")
+    p.add_argument("--refine_iters", type=int, default=40)
     a = p.parse_args(argv)
 
     import cv2
@@ -209,7 +213,9 @@ def main(argv=None) -> int:
     if len(img_pts) < 3:
         print(f"need >= 3 usable views, got {len(img_pts)}")
         return 1
-    K, D, rms, Ts = calibrate_camera(objp, np.stack(img_pts))
+    K, D, rms, Ts = calibrate_camera(objp, np.stack(img_pts),
+                                     refine_iters=a.refine_iters,
+                                     fix_k3=not a.fit_k3)
     print(f"K=\n{K}\nD={D}\nrms={rms:.3f} px over {len(img_pts)} views")
     # pickle layout compatible with the dataloader's consumer
     # (dataloader.py:171-175 reads `camera_matrix, *_`)
