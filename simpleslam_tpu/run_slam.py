@@ -118,6 +118,7 @@ class SLAMSystem:
         self._snap_cache = None
         self.loop_closer = None        # created on demand (--loop_closure)
         self.gba_runs = 0              # completed global BA solves (--gba_enable)
+        self._last_gba_kf_count = -1   # milestone dedup (main_revamped.py:304)
         self._lost_streak = 0          # consecutive lost frames (greloc gate)
         self._vel_reset = False        # zero the motion model after a reloc jump
         self._place_vecs: List[np.ndarray] = []   # per-KF place vectors
@@ -566,6 +567,16 @@ class SLAMSystem:
         if len(self.kfs) < 2 or self.cfg.localize_only:
             return False
         cfg = self.cfg
+        # GBA writes back only KEYFRAME poses; trailing non-KF frames would
+        # keep their pre-polish values and the next motion-model prediction
+        # (host const-vel, or the fused reseed from poses[-1]/[-2]) would be
+        # inconsistent with the polished landmarks. Capture the last KF pose
+        # so its delta can be propagated through the tail afterwards.
+        ki = self.world_map.keyframe_indices
+        anchor = ki[-1] if ki else None
+        T_pre = (np.array(self.world_map.poses[anchor])
+                 if anchor is not None and anchor < len(self.world_map.poses)
+                 else None)
         try:
             with self.timer.stage("gba"):
                 ok = global_bundle_adjustment(
@@ -578,6 +589,13 @@ class SLAMSystem:
             return False
         if ok:
             self.gba_runs += 1
+            if T_pre is not None:
+                # B_post = (B_pre @ A_pre^-1) @ A_post keeps each trailing
+                # frame's relative pose to the last keyframe fixed
+                T_post = np.asarray(self.world_map.poses[anchor])
+                corr = np.linalg.inv(T_pre) @ T_post
+                for i in range(anchor + 1, len(self.world_map.poses)):
+                    self.world_map.poses[i] = self.world_map.poses[i] @ corr
         return ok
 
     # ------------------------------------------------------------ main step
@@ -631,10 +649,15 @@ class SLAMSystem:
         self._prev_img = img
 
         # Global BA milestone — scaffolded but DISABLED by default, like the
-        # reference (main_revamped.py:597-614); --gba_enable makes it real.
-        if self.cfg.gba_every and frame_idx % self.cfg.gba_every == 0:
-            if self.cfg.gba_enable and self.initialised:
+        # reference (main_revamped.py:597-612: keyed on KEYFRAME count with a
+        # last-GBA dedup, so frames that add no KFs never re-solve an
+        # unchanged map); --gba_enable makes it real.
+        if self.cfg.gba_every and self.cfg.gba_enable and self.initialised:
+            kfc = len(self.kfs)
+            if (kfc > 0 and kfc % self.cfg.gba_every == 0
+                    and kfc != self._last_gba_kf_count):
                 self.run_global_ba()
+                self._last_gba_kf_count = kfc
         return feats
 
 
@@ -786,6 +809,12 @@ def run(cfg: SLAMConfig) -> SLAMResult:
         raise ValueError("--localize_only needs a map: pass --resume <state>")
     if cfg.localize_only and cfg.fused:
         raise ValueError("--localize_only runs the host driver (drop --fused)")
+    if cfg.localize_only and cfg.save_state:
+        # run() rebuilds poses as the localization trajectory while kfs keep
+        # the mapping run's indices — persisting that mix would corrupt the
+        # KF->frame mapping on a later --resume
+        raise ValueError("--localize_only does not modify the map; "
+                         "drop --save_state (the resumed state is canonical)")
     if cfg.resume:
         from simpleslam_tpu.utils.serialize import load_state
 

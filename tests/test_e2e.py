@@ -61,13 +61,14 @@ def test_slam_system_tracks_incrementally(synth_base):
 
 def test_gba_milestone_opt_in(synth_base, tmp_path, monkeypatch):
     """--gba_enable makes the reference's disabled GBA milestone real
-    (main_revamped.py:597-614): the full-map Schur-LM solve runs at
-    gba_every and leaves the trajectory at least as good as without it."""
+    (main_revamped.py:597-612: fires every gba_every KEYFRAMES, deduped by
+    KF count so an unchanged map never re-solves) and leaves the trajectory
+    at least as good as without it."""
     monkeypatch.chdir(tmp_path)
     cfg = SLAMConfig(dataset="kitti", base_dir=synth_base, max_features=512,
                      headless=True, no_viz3d=True,
                      kf_min_inliers=40, pnp_min_inliers=15,
-                     gba_enable=True, gba_every=8, gba_max_iters=10)
+                     gba_enable=True, gba_every=3, gba_max_iters=10)
     res = run(cfg)
     assert res.gba_runs >= 1          # milestone actually fired
     assert res.n_frames == 18
@@ -76,6 +77,6 @@ def test_gba_milestone_opt_in(synth_base, tmp_path, monkeypatch):
     # parity default: without the opt-in flag the milestone stays a no-op
     cfg_off = SLAMConfig(dataset="kitti", base_dir=synth_base,
                          max_features=512, headless=True, no_viz3d=True,
-                         kf_min_inliers=40, pnp_min_inliers=15, gba_every=8)
+                         kf_min_inliers=40, pnp_min_inliers=15, gba_every=3)
     res_off = run(cfg_off)
     assert res_off.gba_runs == 0

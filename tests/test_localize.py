@@ -20,7 +20,7 @@ from simpleslam_tpu.utils.serialize import load_state
 
 
 @pytest.fixture(scope="module")
-def mapped_world(tmp_path_factory):
+def mapped_world(tmp_path_factory, request):
     base = str(tmp_path_factory.mktemp("synth_loc"))
     generate_kitti_sequence(base, n_frames=18, seed=7, hw=(180, 410),
                             speed=0.5, yaw_rate_deg=0.3)
@@ -29,6 +29,11 @@ def mapped_world(tmp_path_factory):
                      headless=True, no_viz3d=True,
                      kf_min_inliers=40, pnp_min_inliers=15,
                      save_state=state)
+    # run() writes trajectory_<dataset>.png into the cwd — keep it out of
+    # the checkout (monkeypatch is function-scoped, so chdir by hand)
+    cwd = os.getcwd()
+    os.chdir(base)
+    request.addfinalizer(lambda: os.chdir(cwd))
     res = run(cfg)
     assert res.n_keyframes >= 2 and res.n_landmarks >= 80
     return base, state, res
@@ -66,4 +71,16 @@ def test_localize_only_requires_resume(mapped_world):
     cfg = SLAMConfig(dataset="kitti", base_dir=base, headless=True,
                      no_viz3d=True, localize_only=True)
     with pytest.raises(ValueError, match="resume"):
+        run(cfg)
+
+
+def test_localize_only_rejects_save_state(mapped_world):
+    """--localize_only + --save_state would persist a mapping-run KF set
+    against a localization-run pose list (inconsistent KF->frame mapping on
+    a later --resume) — refused up front."""
+    base, state, _ = mapped_world
+    cfg = SLAMConfig(dataset="kitti", base_dir=base, headless=True,
+                     no_viz3d=True, resume=state, localize_only=True,
+                     save_state=os.path.join(base, "bad.npz"))
+    with pytest.raises(ValueError, match="save_state"):
         run(cfg)
