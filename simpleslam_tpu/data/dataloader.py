@@ -156,6 +156,26 @@ def load_calibration(args) -> Dict[str, Optional[np.ndarray]]:
     """{'K_l','P_l','K_r','P_r'[,'D_l','D_r']} per dataset (dataloader.py:103-175)."""
     name = args.dataset
     if name == "kitti":
+        # Real KITTI-odometry sequences ship a per-sequence calib.txt
+        # ("P0: <12 floats>" rows). Honor it when present — it describes
+        # the ACTUAL frames (e.g. focal-preserving crop fixtures), so the
+        # native-size rescale must not touch it. The reference hard-codes
+        # the seq-05 constants instead (dataloader.py:125-141); those stay
+        # the fallback for sequences without the file.
+        calib_txt = os.path.join(args.base_dir, name, "05", "calib.txt")
+        if os.path.isfile(calib_txt):
+            P = {}
+            with open(calib_txt) as f:
+                for line in f:
+                    key, _, rest = line.partition(":")
+                    vals = np.fromstring(rest, sep=" ")
+                    if key.strip() in ("P0", "P1") and vals.size == 12:
+                        P[key.strip()] = vals.reshape(3, 4)
+            if "P0" in P:
+                P1 = P.get("P1", P["P0"])
+                return {"K_l": P["P0"][:, :3].copy(), "P_l": P["P0"].copy(),
+                        "K_r": P1[:, :3].copy(), "P_r": P1.copy(),
+                        "native": True}
         return {"K_l": _KITTI_P0[:, :3].copy(), "P_l": _KITTI_P0.copy(),
                 "K_r": _KITTI_P1[:, :3].copy(), "P_r": _KITTI_P1.copy()}
     if name == "malaga":
@@ -342,6 +362,8 @@ class Sequence:
                   "tum-rgbd": (480, 640)}
 
     def _rescale_calib_to_frames(self, dataset: str) -> None:
+        if self.calib.get("native"):   # calib.txt describes the frames as-is
+            return
         native = self._NATIVE_HW.get(dataset)
         if native is None or not self.frames:
             return

@@ -461,7 +461,8 @@ def generate_kitti_sequence(out_dir: str, n_frames: int = 60, seed: int = 0,
                             scene: str = "corridor",
                             trajectory: str = "straight",
                             closure_frac: float = 0.8,
-                            corner_frames: int = 24) -> str:
+                            corner_frames: int = 24,
+                            calib: str = "fov") -> str:
     """Write a KITTI-layout synthetic sequence; returns the base_dir to pass
     as ``--base_dir`` with ``--dataset kitti``. (``n_points`` accepted for
     backward compatibility; the raycast scene has continuous texture.)
@@ -494,21 +495,42 @@ def generate_kitti_sequence(out_dir: str, n_frames: int = 60, seed: int = 0,
     else:
         T_wc = make_trajectory(n_frames, speed=speed,
                                yaw_rate_deg=yaw_rate_deg)
-    # scale the KITTI intrinsics to the render size exactly the way the
-    # data layer rescales the hard-coded calibration to non-native frames
-    # (data/dataloader.py Sequence._rescale_calib_to_frames) — fixture and
-    # driver then agree on the camera at ANY hw, and low-res fixtures keep
-    # KITTI's wide FOV (near-field texture) instead of becoming telescopes
     H, W = hw
     Ks = DEFAULT_K.copy()
-    Ks[0] *= W / DEFAULT_HW[1]
-    Ks[1] *= H / DEFAULT_HW[0]
+    if calib == "crop":
+        # focal-preserving CROP: render an HxW window of the native image
+        # plane at the native focal (principal point at the window center).
+        # Per-pixel depth observability (px of disparity per meter) then
+        # matches full-resolution KITTI instead of degrading with the render
+        # size — the defect VERDICT r3 weak-5 measured on the 180x410 box
+        # fixture (focal 707 -> ~236 px). The camera is written to the
+        # sequence's calib.txt (standard KITTI odometry layout) which the
+        # data layer honors verbatim.
+        Ks[0, 2] = W / 2.0
+        Ks[1, 2] = H / 2.0
+    else:
+        # FOV-preserving rescale: shrink the intrinsics to the render size
+        # exactly the way the data layer rescales the hard-coded calibration
+        # to non-native frames (data/dataloader.py
+        # Sequence._rescale_calib_to_frames) — fixture and driver then agree
+        # on the camera at ANY hw, and low-res fixtures keep KITTI's wide
+        # FOV (near-field texture) instead of becoming telescopes
+        Ks[0] *= W / DEFAULT_HW[1]
+        Ks[1] *= H / DEFAULT_HW[0]
     scene = SCENE_FAMILIES[scene](seed=seed, hw=hw, K=Ks, **scene_kw)
 
     img_dir = os.path.join(out_dir, "kitti", "05", "image_0")
     pose_dir = os.path.join(out_dir, "kitti", "poses")
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(pose_dir, exist_ok=True)
+    if calib == "crop":
+        P0 = np.hstack([Ks, np.zeros((3, 1))])
+        P1 = P0.copy()
+        P1[0, 3] = -386.1448       # KITTI seq-05 stereo baseline term (fx*b)
+        with open(os.path.join(out_dir, "kitti", "05", "calib.txt"), "w") as f:
+            for name_, P_ in (("P0", P0), ("P1", P1)):
+                f.write(name_ + ": " + " ".join(f"{v:.12e}"
+                                                for v in P_.ravel()) + "\n")
 
     for i in range(n_frames):
         cv2.imwrite(os.path.join(img_dir, f"{i:06d}.png"),
@@ -539,6 +561,11 @@ def main(argv=None) -> int:
                         "lap closes (the rest re-drives the lap)")
     p.add_argument("--corner_frames", type=int, default=24,
                    help="square mode: frames per 90-degree corner arc")
+    p.add_argument("--calib", choices=["fov", "crop"], default="fov",
+                   help="'fov' rescales intrinsics to the render size "
+                        "(keeps KITTI's wide FOV); 'crop' renders a native-"
+                        "focal window and writes the camera to calib.txt "
+                        "(keeps full-res depth observability at low res)")
     p.add_argument("--hw", type=int, nargs=2, default=list(DEFAULT_HW),
                    metavar=("H", "W"),
                    help="render resolution (default: native KITTI 370 1226; "
@@ -551,7 +578,8 @@ def main(argv=None) -> int:
                                    yaw_rate_deg=a.yaw_rate_deg, scene=a.scene,
                                    trajectory=a.trajectory,
                                    closure_frac=a.closure_frac,
-                                   corner_frames=a.corner_frames)
+                                   corner_frames=a.corner_frames,
+                                   calib=a.calib)
     print(f"synthetic KITTI sequence at {base} "
           f"(use --dataset kitti --base_dir {base})")
     return 0

@@ -143,3 +143,25 @@ def test_sequence_wrapper(kitti_dir):
     assert seq.frame(1)[0, 0, 0] == 10
     assert seq.K.shape == (3, 3)
     assert seq.gt is not None
+
+
+def test_kitti_calib_txt_honored(kitti_dir):
+    """A per-sequence calib.txt (standard KITTI odometry layout) overrides
+    the hard-coded seq-05 constants and is NOT rescaled to the frame size —
+    it describes the actual frames (focal-preserving crop fixtures)."""
+    K = np.array([[707.0912, 0.0, 6.0], [0.0, 707.0912, 4.0], [0, 0, 1.0]])
+    P0 = np.hstack([K, np.zeros((3, 1))])
+    P1 = P0.copy()
+    P1[0, 3] = -386.1448
+    with open(os.path.join(kitti_dir, "kitti", "05", "calib.txt"), "w") as f:
+        f.write("P0: " + " ".join(f"{v:.12e}" for v in P0.ravel()) + "\n")
+        f.write("P1: " + " ".join(f"{v:.12e}" for v in P1.ravel()) + "\n")
+    args = SimpleNamespace(dataset="kitti", base_dir=kitti_dir)
+    calib = load_calibration(args)
+    assert calib["native"] is True
+    np.testing.assert_allclose(calib["K_l"], K)
+    np.testing.assert_allclose(calib["P_r"][0, 3], -386.1448)
+    # Sequence.load must keep it verbatim even though the 8x12 frames are
+    # nowhere near KITTI's native 370x1226
+    seq = Sequence.load(args)
+    np.testing.assert_allclose(seq.K, K)
