@@ -179,7 +179,11 @@ def _ba_solve_impl(problem: BAProblem, K: jax.Array, *,
         # Normal-equation blocks via ONE-HOT MATMUL reductions. TPU scatters
         # serialize; expressing every segment-sum as (segments x E) @ (E x k)
         # keeps the whole assembly on the MXU. One-hot entries are exactly
-        # 0/1, so the reduction is exact in f32.
+        # 0/1, so the reduction is exact in f32. (Measured and rejected:
+        # a hi/lo-bf16 split of the values at DEFAULT precision — 3x fewer
+        # MXU passes — produced NO per-iteration speedup, i.e. the assembly
+        # matmuls are not the wall here, while its ~2^-17 Hessian noise made
+        # LM take twice the accepted steps to reach the same cost.)
         JJc = jnp.einsum("eri,erj->eij", wJcam, Jcam).reshape(-1, 36)
         U = allreduce((oh_cam.T @ JJc).reshape(P, 6, 6))
         JJp = jnp.einsum("eri,erj->eij", wJpt, Jpt).reshape(-1, 9)
@@ -232,7 +236,8 @@ def _ba_solve_impl(problem: BAProblem, K: jax.Array, *,
         poses_new = jax.vmap(lambda d, T: se3.se3_exp(d) @ T)(dc, poses)
         points_new = points + dp
 
-        c_old = cost_of(poses, points)
+        # r/ok already hold this iterate's residuals — no second pass
+        c_old = allreduce(_robust_cost(r, ok, huber))
         c_new = cost_of(poses_new, points_new)
         accept = (c_new < c_old) & jnp.isfinite(c_new)
         poses = jnp.where(accept, poses_new, poses)
@@ -278,6 +283,37 @@ def ba_solve(problem: BAProblem, K: jax.Array, *,
     (poses, points, cost_initial, cost_final, n_good_iters)."""
     return _ba_solve_impl(problem, K, huber=huber, max_iters=max_iters,
                           init_lambda=init_lambda)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+@highest_precision
+def ba_solve_batch(problems: BAProblem, K: jax.Array, *,
+                   huber: float = 2.0, max_iters: int = 12,
+                   init_lambda: float = 1e-3):
+    """N independent BA windows in ONE dispatch.
+
+    Every ``BAProblem`` field carries a leading batch axis (all windows
+    padded to one static shape); ``K`` is (3,3) shared or (B,3,3) per-window.
+    Returns the same tuple as :func:`ba_solve` with a leading batch axis.
+
+    Why: a single local-BA window is LATENCY-bound — 12 sequential LM
+    iterations of small-kernel chains leave the chip ~99% idle (bench r3:
+    52.8 solves/s = 0.4% MFU). vmap turns the same program into B-wide
+    batched kernels at near-constant wall time, so independent windows
+    (offline SfM refinement sweeps, tools/sfm.py checkpoint GBAs, multi-map
+    / parameter-sweep workloads, the role Ceres' thread pool plays in the
+    reference at ba_utils.py:288-293) scale by ~B. The vmapped while_loop
+    runs until every window converges (per-window early-exit masks into
+    no-op iterations, which is exactly the dense-batch TPU trade).
+    """
+    if K.ndim == 2:
+        K = jnp.broadcast_to(K, (problems.poses.shape[0],) + K.shape)
+
+    def one(prob, Kb):
+        return _ba_solve_impl(prob, Kb, huber=huber, max_iters=max_iters,
+                              init_lambda=init_lambda)
+
+    return jax.vmap(one)(problems, K)
 
 
 def ba_solve_sharded(problem: BAProblem, K: jax.Array, mesh, *,
