@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -34,12 +35,21 @@ def log(*a):
 PEAK_TFLOPS_BF16 = 197.0
 
 
-def flops_of(jitted_fn, *args):
+def flops_of(jitted_fn, *args, compile_: bool = True):
     """Model FLOPs of one dispatch via XLA cost analysis (None if the
-    platform doesn't expose it)."""
+    platform doesn't expose it). ``compile_=False`` tries the pre-compile
+    (lowered) analysis first — enough for branch-forced cost programs that
+    are never executed, and avoids a minutes-slow remote compile."""
     try:
-        c = jitted_fn.lower(*args).compile()
-        ca = c.cost_analysis()
+        low = jitted_fn.lower(*args)
+        ca = None
+        if not compile_:
+            try:
+                ca = low.cost_analysis()
+            except Exception:
+                ca = None
+        if ca is None:
+            ca = low.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else None
         f = ca.get("flops") if ca else None
@@ -169,7 +179,46 @@ def bench_e2e_fused(small: bool, use_learned: bool = True, extra_argv=()):
         f"({kf_warm} KFs, {lost} lost frames, map "
         f"{int(np.asarray(state.n_points))} pts)")
     tflops, mfu = mfu_line("fused_e2e_step", e2e_flops, best)
-    return best, tflops, mfu
+
+    # executed-average MFU (VERDICT r3 weak-2): the static cost analysis
+    # above counts BOTH sides of every lax.cond (KF burst AND skip), so it
+    # is an upper bound on executed work. Weight the branch-forced per-class
+    # programs (tools/fused_cost, run as a CPU cost-analysis subprocess —
+    # the axon platform exposes no lowered cost analysis and extra remote
+    # compiles are minutes each) by the per-class frame counts observed in
+    # this run, then scale the TPU static count by that executed/static
+    # ratio so both numbers share one FLOP basis.
+    mfu_exec = None
+    try:
+        flags = np.asarray(state.log_flags)[:Krun]
+        n_kf_c = int(flags[:, 1].sum())
+        n_eval = max(0, int(flags[:, 6].sum()) - n_kf_c)
+        n_skip = max(0, Krun - n_kf_c - n_eval)
+        spec = {"argv": argv, "hw": [H, W], "n_kp": int(fc.n_kp),
+                "desc_dim": int(fc.desc_dim),
+                "desc_dtype": str(np.asarray(prev_feats.desc).dtype),
+                "K": np.asarray(system.K, float).tolist()}
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, "-m", "simpleslam_tpu.tools.fused_cost",
+             json.dumps(spec)], capture_output=True, text=True,
+            timeout=900, env=env)
+        bf = json.loads(r.stdout.strip().splitlines()[-1])
+        if all(bf.get(k) for k in ("static", "skip", "eval", "kf")):
+            w = (n_skip * bf["skip"] + n_eval * bf["eval"]
+                 + n_kf_c * bf["kf"]) / max(1, Krun)
+            ratio = w / bf["static"]
+            log(f"[e2e] frame classes: {n_skip} skip / {n_eval} eval / "
+                f"{n_kf_c} kf -> executed/static FLOP ratio {ratio:.3f} "
+                f"(CPU basis GF: static {bf['static'] / 1e9:.1f}, skip "
+                f"{bf['skip'] / 1e9:.1f}, eval {bf['eval'] / 1e9:.1f}, "
+                f"kf {bf['kf'] / 1e9:.1f})")
+            if e2e_flops:
+                _, mfu_exec = mfu_line("fused_e2e_step_executed",
+                                       e2e_flops * ratio, best)
+    except Exception as e:
+        log(f"executed-MFU accounting skipped: {type(e).__name__}: {e}")
+    return best, tflops, mfu, mfu_exec
 
 
 def main() -> int:
@@ -351,6 +400,35 @@ def main() -> int:
             f" {best_ba:.2f} solves/s")
         ba_flops = flops_of(ba_solve, prob, Kb)    # defaults match the run
         mfu_line("ba_solve", ba_flops, best_ba)
+
+        # batched independent windows in ONE dispatch (ba_solve_batch): the
+        # single-window solve is latency-bound by 12 sequential LM
+        # iterations of small kernels (VERDICT r3 weak-6); vmap widens the
+        # same kernels by B at near-constant wall time
+        from simpleslam_tpu.ops.ba import ba_solve_batch
+
+        Bba = 8
+        probs_b = jax.tree.map(
+            lambda x: jnp.stack([x] * Bba), prob)
+        probs_b = probs_b._replace(
+            uv=probs_b.uv + 1e-4 * jnp.arange(Bba, dtype=jnp.float32)[
+                :, None, None])
+        outb = ba_solve_batch(probs_b, Kb, huber=2.0, max_iters=12)
+        _ = float(jnp.sum(outb[3]))                # force (compile+run)
+        best_bab = 0.0
+        for _round in range(3):
+            t0 = time.perf_counter()
+            outb = ba_solve_batch(probs_b._replace(
+                uv=probs_b.uv + jnp.float32(1e-6 * (_round + 1))), Kb,
+                huber=2.0, max_iters=12)
+            _ = float(jnp.sum(outb[3]))
+            best_bab = max(best_bab, Bba / (time.perf_counter() - t0))
+        log(f"component: BATCHED local BA x{Bba} windows/dispatch "
+            f"{best_bab:.2f} solves/s ({best_bab / max(best_ba, 1e-9):.1f}x "
+            f"the single-window rate)")
+        bab_flops = flops_of(ba_solve_batch, probs_b, Kb)
+        mfu_line("ba_solve_batch", bab_flops,
+                 best_bab / Bba)                   # per-dispatch rate
     except Exception as e:
         log(f"BA component bench skipped: {e}")
 
@@ -359,10 +437,11 @@ def main() -> int:
     # the timed region). Falls back to the streaming component number if the
     # synthetic bootstrap fails (never observed; belt and braces).
     try:
-        e2e, e2e_tflops, e2e_mfu = bench_e2e_fused(small, use_learned=True)
+        e2e, e2e_tflops, e2e_mfu, e2e_mfu_exec = \
+            bench_e2e_fused(small, use_learned=True)
     except Exception as e:
         log(f"e2e fused bench failed: {e}")
-        e2e = e2e_tflops = e2e_mfu = None
+        e2e = e2e_tflops = e2e_mfu = e2e_mfu_exec = None
     if e2e is not None:
         out = {
             "metric": "e2e_slam_fps_aliked_lightglue_kitti_synth",
@@ -372,7 +451,13 @@ def main() -> int:
         }
         if e2e_mfu is not None:
             out["achieved_tflops"] = round(e2e_tflops, 2)
+            # static = XLA cost analysis of the whole program (counts both
+            # lax.cond branches); executed = static scaled by the per-class
+            # frame mix actually run (tools/fused_cost accounting)
             out["mfu_pct_v5e_bf16"] = round(e2e_mfu, 2)
+            out["mfu_static_pct"] = round(e2e_mfu, 2)
+        if e2e_mfu_exec is not None:
+            out["mfu_executed_pct"] = round(e2e_mfu_exec, 2)
         print(json.dumps(out))
     else:
         print(json.dumps({
