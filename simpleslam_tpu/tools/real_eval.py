@@ -1,23 +1,30 @@
 """Real-image front-end evaluation: repeatability + matching under known
-homographies on actual photographs.
+homographies and illumination jitter on actual photographs.
 
 The reference's evidentiary record is real-world imagery (reference:
-README.md:4 demo video, media/*); the only real photos shipped on this
-machine are the 31 webcam calibration frames
+README.md:4 demo video, media/*); the real photos shipped on this machine
+are the 31 webcam calibration frames
 (``/root/reference/config/calibrate_camera/images/*.png``). This tool
-measures the learned (or classical) front-end on them with the standard
-HPatches-style protocol: warp each image by a random homography, extract on
-both, and score
+measures a front-end on them with the standard HPatches-style protocol:
+warp each image by a random homography, jitter gain/bias/gamma
+(illumination axis), extract on both views, and score
 
   * repeatability  — fraction of keypoints (visible in both views) whose
     warped location has a detected keypoint within ``tol`` px,
-  * descriptor separation — median L2 of true pairs vs nearest distractor,
+  * descriptor separation — median L2 of true pairs vs nearest distractor
+    (float descriptors only),
   * matcher precision/recall — LightGlue (or BF) matches gated at min_conf
     vs the ground-truth warp.
 
+``--compare`` runs the learned pipeline AND the classical ORB/AKAZE
+front-ends over the IDENTICAL episode list (same homographies, same
+illumination draws) — the apples-to-apples table VERDICT r3 item 7 asks
+for ("is the learned front-end worth it on real data").
+
 Usage:
-  python -m simpleslam_tpu.tools.real_eval [--glob PATTERN] [--n 8]
-         [--warps 2] [--classical] [--hw H W] [--json]
+  python -m simpleslam_tpu.tools.real_eval [--glob PATTERN] [--n 31]
+         [--warps 5] [--frontend learned|orb|akaze|sift] [--compare]
+         [--no_illum] [--hw H W] [--json]
 """
 from __future__ import annotations
 
@@ -30,6 +37,19 @@ import sys
 import numpy as np
 
 DEFAULT_GLOB = "/root/reference/config/calibrate_camera/images/*.png"
+
+
+def select_split(paths, split: str):
+    """Real-photo train/eval split. ``heldout`` = the even-indexed half
+    (never used by real-image training, which takes the odd half +
+    grace_hopper — models/train.train_photo_paths); ``train`` = that odd
+    half; ``all`` = everything (pre-round-4 protocol)."""
+    paths = sorted(paths)
+    if split == "heldout":
+        return paths[::2]
+    if split == "train":
+        return paths[1::2]
+    return paths
 
 
 def _load_gray(path: str, hw):
@@ -58,14 +78,41 @@ def _warp_pts(Hm, pts):
     return q[:, :2] / np.maximum(np.abs(q[:, 2:3]), 1e-9) * np.sign(q[:, 2:3])
 
 
-def evaluate_pair(det, mat, img0, Hm, tol=3.0):
-    """One (image, warped image) episode -> metric dict."""
+def _apply_photometric(img: np.ndarray, ph) -> np.ndarray:
+    """gain/bias/gamma jitter in [0,255] space (the illumination axis)."""
+    if ph is None:
+        return img
+    x = (img.astype(np.float32) / 255.0) ** ph["gamma"]
+    x = x * 255.0 * ph["gain"] + ph["bias"]
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
+def build_episodes(paths, warps, hw, seed=0, illum=True, mag=0.12):
+    """Shared episode list: (path, gray image, homography, photometric) —
+    built ONCE so every compared front-end sees identical inputs."""
+    rng = np.random.default_rng(seed)
+    eps = []
+    for p in paths:
+        img = _load_gray(p, hw)
+        if img is None:
+            continue
+        for _w in range(warps):
+            Hm = _random_h(rng, *img.shape, mag=mag)
+            ph = ({"gain": float(rng.uniform(0.7, 1.4)),
+                   "bias": float(rng.uniform(-20, 20)),
+                   "gamma": float(rng.uniform(0.7, 1.4))} if illum else None)
+            eps.append({"path": p, "img": img, "H": Hm, "photo": ph})
+    return eps
+
+
+def evaluate_pair(det, mat, img0, Hm, photo=None, tol=3.0):
+    """One (image, warped+jittered image) episode -> metric dict."""
     import cv2
     import jax
     import jax.numpy as jnp
 
     H, W = img0.shape
-    img1 = cv2.warpPerspective(img0, Hm, (W, H))
+    img1 = _apply_photometric(cv2.warpPerspective(img0, Hm, (W, H)), photo)
     f0 = jax.tree.map(np.asarray, det.fn(jnp.asarray(img0, jnp.float32)))
     f1 = jax.tree.map(np.asarray, det.fn(jnp.asarray(img1, jnp.float32)))
     kp0, d0 = f0.kpts[f0.valid], f0.desc[f0.valid]
@@ -112,54 +159,63 @@ def evaluate_pair(det, mat, img0, Hm, tol=3.0):
     return out
 
 
-def run_eval(image_glob=DEFAULT_GLOB, n_images=8, warps=2, hw=None,
-             classical=False, max_kp=1024, min_conf=0.7, seed=0,
-             verbose=True):
+def _frontend(name: str, max_kp: int, min_conf: float):
     from simpleslam_tpu.config import parse_config
+    from simpleslam_tpu.core.frontend import init_feature_pipeline
 
+    argv = ["--dataset", "kitti", "--headless",
+            "--max_features", str(max_kp), "--min_conf", str(min_conf)]
+    if name == "learned":
+        argv.append("--use_lightglue")
+    else:
+        argv += ["--detector", name]
+    return init_feature_pipeline(parse_config(argv))
+
+
+AGG_KEYS = ("repeatability", "true_l2_p50", "distractor_l2_p50",
+            "frac_true_under_gate", "match_precision", "match_recall_vs_vis",
+            "n_matches")
+
+
+def eval_frontend(name, episodes, max_kp=1024, min_conf=0.7, verbose=True):
+    """Run one front-end over a shared episode list -> (aggregate, rows)."""
+    det, mat = _frontend(name, max_kp, min_conf)
+    rows = []
+    for ep in episodes:
+        r = evaluate_pair(det, mat, ep["img"], ep["H"], ep["photo"])
+        if r is None:
+            continue
+        r["image"] = os.path.basename(ep["path"])
+        rows.append(r)
+        if verbose:
+            print(f"[{name}] {r['image']}: rep={r['repeatability']:.2f} "
+                  f"prec={r.get('match_precision', float('nan')):.2f} "
+                  f"rec={r.get('match_recall_vs_vis', float('nan')):.2f} "
+                  f"n={r.get('n_matches', 0)}", flush=True)
+    if not rows:
+        raise RuntimeError(f"no valid evaluation episodes for {name}")
+    agg = {}
+    for k in AGG_KEYS:
+        vals = [e[k] for e in rows if k in e]
+        if vals:
+            agg[k] = float(np.mean(vals))
+    agg["n_episodes"] = len(rows)
+    return agg, rows
+
+
+def run_eval(image_glob=DEFAULT_GLOB, n_images=31, warps=5, hw=None,
+             classical=False, max_kp=1024, min_conf=0.7, seed=0,
+             verbose=True, frontend=None, illum=True):
+    """Single-frontend evaluation (kept for tests/back-compat);
+    ``classical=True`` means the ORB front-end."""
     paths = sorted(globmod.glob(image_glob))[:n_images]
     if not paths:
         raise FileNotFoundError(f"no images match {image_glob}")
-    argv = ["--dataset", "kitti", "--headless",
-            "--max_features", str(max_kp), "--min_conf", str(min_conf)]
-    if not classical:
-        argv.append("--use_lightglue")
-    cfg = parse_config(argv)
-    from simpleslam_tpu.core.frontend import init_feature_pipeline
-
-    det, mat = init_feature_pipeline(cfg)
-
-    rng = np.random.default_rng(seed)
-    episodes = []
-    for p in paths:
-        img = _load_gray(p, hw)
-        if img is None:
-            continue
-        for _w in range(warps):
-            Hm = _random_h(rng, *img.shape)
-            r = evaluate_pair(det, mat, img, Hm)
-            if r is not None:
-                r["image"] = os.path.basename(p)
-                episodes.append(r)
-                if verbose:
-                    print(f"{r['image']}: rep={r['repeatability']:.2f} "
-                          f"trueL2={r.get('true_l2_p50', float('nan')):.3f} "
-                          f"distL2={r.get('distractor_l2_p50', float('nan')):.3f} "
-                          f"prec={r.get('match_precision', float('nan')):.2f} "
-                          f"n={r.get('n_matches', 0)}", flush=True)
-
-    if not episodes:
-        raise RuntimeError("no valid evaluation episodes")
-    agg = {}
-    for k in ("repeatability", "true_l2_p50", "distractor_l2_p50",
-              "frac_true_under_gate", "match_precision",
-              "match_recall_vs_vis"):
-        vals = [e[k] for e in episodes if k in e]
-        if vals:
-            agg[k] = float(np.mean(vals))
-    agg["n_episodes"] = len(episodes)
+    episodes = build_episodes(paths, warps, hw, seed=seed, illum=illum)
+    name = frontend or ("orb" if classical else "learned")
+    agg, rows = eval_frontend(name, episodes, max_kp, min_conf, verbose)
     agg["n_images"] = len(paths)
-    return agg, episodes
+    return agg, rows
 
 
 def main(argv=None) -> int:
@@ -167,11 +223,23 @@ def main(argv=None) -> int:
     respect_platform_env()
     p = argparse.ArgumentParser("real_eval")
     p.add_argument("--glob", default=DEFAULT_GLOB)
-    p.add_argument("--n", type=int, default=8)
-    p.add_argument("--warps", type=int, default=2)
+    p.add_argument("--n", type=int, default=31)
+    p.add_argument("--warps", type=int, default=5)
     p.add_argument("--hw", type=int, nargs=2, default=None,
                    help="resize images to H W before eval")
-    p.add_argument("--classical", action="store_true")
+    p.add_argument("--frontend", default="learned",
+                   choices=["learned", "orb", "akaze", "sift"])
+    p.add_argument("--classical", action="store_true",
+                   help="alias for --frontend orb (back-compat)")
+    p.add_argument("--compare", action="store_true",
+                   help="run learned + ORB + AKAZE on identical episodes")
+    p.add_argument("--no_illum", action="store_true",
+                   help="disable the gain/bias/gamma illumination jitter")
+    p.add_argument("--split", default="all",
+                   choices=["all", "heldout", "train"],
+                   help="photo split: 'heldout' = the even-indexed half "
+                        "(disjoint from real-image training)")
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_kp", type=int, default=1024)
     p.add_argument("--min_conf", type=float, default=0.7)
     p.add_argument("--json", action="store_true")
@@ -179,13 +247,36 @@ def main(argv=None) -> int:
     from simpleslam_tpu.utils.platform import enable_compile_cache
 
     enable_compile_cache()
-    agg, _eps = run_eval(a.glob, a.n, a.warps, tuple(a.hw) if a.hw else None,
-                         a.classical, a.max_kp, a.min_conf)
+
+    paths = select_split(globmod.glob(a.glob), a.split)[:a.n]
+    if not paths:
+        raise FileNotFoundError(f"no images match {a.glob}")
+    hw = tuple(a.hw) if a.hw else None
+    episodes = build_episodes(paths, a.warps, hw, seed=a.seed,
+                              illum=not a.no_illum)
+    names = (["learned", "orb", "akaze"] if a.compare
+             else ["orb" if a.classical else a.frontend])
+    results = {}
+    for name in names:
+        agg, _rows = eval_frontend(name, episodes, a.max_kp, a.min_conf,
+                                   verbose=not a.json)
+        agg["n_images"] = len(paths)
+        results[name] = agg
+
     if a.json:
-        print(json.dumps(agg))
+        print(json.dumps(results if a.compare else results[names[0]]))
+    elif a.compare:
+        cols = ["repeatability", "match_precision", "match_recall_vs_vis",
+                "n_matches"]
+        print(f"\n{'frontend':<10}" + "".join(f"{c:>22}" for c in cols)
+              + f"{'episodes':>10}")
+        for name, agg in results.items():
+            print(f"{name:<10}" + "".join(
+                f"{agg.get(c, float('nan')):>22.4f}" for c in cols)
+                + f"{agg['n_episodes']:>10d}")
     else:
         print("aggregate:", {k: (round(v, 4) if isinstance(v, float) else v)
-                             for k, v in agg.items()})
+                             for k, v in results[names[0]].items()})
     return 0
 
 
