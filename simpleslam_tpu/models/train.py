@@ -178,7 +178,8 @@ class ScenePairPool:
 
     def __init__(self, hw, n_views: int = 160, seed: int = 0,
                  n_scenes: int = 4, render_hw=None,
-                 families: Tuple[str, ...] = ("corridor",)):
+                 families: Tuple[str, ...] = ("corridor",),
+                 cache_dir: str = "/tmp/scenepool_cache"):
         from simpleslam_tpu.tools.synth import (DEFAULT_K, SCENE_FAMILIES,
                                                 make_trajectory)
         H, W = hw
@@ -202,19 +203,41 @@ class ScenePairPool:
         rng = np.random.default_rng(seed)
         self.imgs, self.pts, self.depth, self.poses = [], [], [], []
         per = max(2, n_views // n_scenes)
+        # renders are deterministic in (family, seed, hw, K, trajectory):
+        # cache per scene block on disk — a full-res 160-view pool costs
+        # ~1 h of single-core raycasting, a retrain should not re-pay it
+        import hashlib
+        import os
+
         for sc in range(n_scenes):
             fam = families[sc % len(families)]
-            scene = SCENE_FAMILIES[fam](seed=seed + sc, hw=(Hr, Wr), K=K)
-            # box scenes have featureless sky; keep yaw gentle so the view
-            # retains geometry, and always move forward for parallax
             T = make_trajectory(per, speed=float(rng.uniform(0.2, 0.8)),
                                 yaw_rate_deg=float(rng.uniform(0.0, 0.8)))
+            key = hashlib.sha1(
+                f"{fam}|{seed + sc}|{Hr}x{Wr}|{per}".encode()
+                + K.tobytes() + T.tobytes()).hexdigest()[:16]
+            cpath = os.path.join(cache_dir, f"block_{key}.npz") \
+                if cache_dir else None
+            if cpath and os.path.exists(cpath):
+                z = np.load(cpath)
+                imgs, pts, depth = z["imgs"], z["pts"], z["depth"]
+            else:
+                scene = SCENE_FAMILIES[fam](seed=seed + sc, hw=(Hr, Wr), K=K)
+                # box scenes have featureless sky; keep yaw gentle so the
+                # view retains geometry, and always move forward for parallax
+                out = [scene.render_with_geometry(T[i]) for i in range(per)]
+                imgs = np.stack([o[0] for o in out])
+                pts = np.stack([o[1] for o in out]).astype(np.float32)
+                depth = np.nan_to_num(
+                    np.stack([o[2] for o in out]),
+                    posinf=1e9).astype(np.float32)
+                if cpath:
+                    os.makedirs(cache_dir, exist_ok=True)
+                    np.savez(cpath, imgs=imgs, pts=pts, depth=depth)
             for i in range(per):
-                img, hit, t = scene.render_with_geometry(T[i])
-                self.imgs.append(img)
-                self.pts.append(hit.astype(np.float32))
-                self.depth.append(np.nan_to_num(
-                    t, posinf=1e9).astype(np.float32))
+                self.imgs.append(imgs[i])
+                self.pts.append(pts[i])
+                self.depth.append(depth[i])
                 self.poses.append(T[i].astype(np.float64))
         self.n = len(self.imgs)
         self._per = per
@@ -318,6 +341,138 @@ class ScenePairPool:
                 valid[b, :k] = True
         return dict(img0=img0, img1=img1, pts0=pts0, pts1=pts1,
                     pt_valid=valid, warp01=warp01, warp_valid=warp_valid)
+
+
+class PhotoPairPool:
+    """Homography pairs over REAL photographs (the training half of the
+    machine's real-image corpus; see ``train_photo_paths``).
+
+    The synthetic pools above teach geometry (parallax, occlusion) but their
+    pixel statistics come from a procedural renderer; webcam photographs
+    carry real sensor statistics — demosaic noise, optical blur, JPEG-ish
+    texture, real scene clutter. Each sample: random (H,W) crop of a random
+    photo at a random pre-scale, warped by a random homography (corner
+    jitter + similarity component) with the EXACT dense correspondence
+    field, same dict layout as ``synthetic_pair_batch``/``ScenePairPool``.
+
+    Mirrors the role of MegaDepth/homography pre-training for the
+    reference's pretrained ALIKED+LightGlue weights (reference:
+    slam/core/features_utils.py:24-26) with the imagery available here.
+    """
+
+    def __init__(self, hw, paths, seed: int = 0):
+        import cv2
+
+        H, W = hw
+        self.hw = (int(H), int(W))
+        self.imgs = []
+        for p in paths:
+            img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                continue
+            img = img.astype(np.float32)
+            # per-photo contrast normalization (webcam exposures vary);
+            # photometric_augment re-jitters per sample afterwards
+            lo, hi = np.percentile(img, [2, 98])
+            img = np.clip((img - lo) / max(hi - lo, 1.0), 0.0, 1.0)
+            # keep a small pyramid of pre-scales so crops see the photo at
+            # several pixel scales (the SLAM pipeline's effective texture
+            # scale varies with depth)
+            pyr = [img]
+            for _ in range(2):
+                if min(pyr[-1].shape) < 2 * min(H, W):
+                    break
+                pyr.append(cv2.resize(pyr[-1], (pyr[-1].shape[1] // 2,
+                                                pyr[-1].shape[0] // 2),
+                                      interpolation=cv2.INTER_AREA))
+            self.imgs.extend(p2 for p2 in pyr
+                             if p2.shape[0] >= H + 8 and p2.shape[1] >= W + 8)
+        if not self.imgs:
+            raise FileNotFoundError("PhotoPairPool: no usable photos")
+
+    @staticmethod
+    def _random_h(rng: np.random.Generator, H: int, W: int,
+                  mag: float = 0.15) -> np.ndarray:
+        """Corner-jitter homography composed with a random similarity
+        (rotation up to ~15 deg, scale 1 +- 25%) about the crop center."""
+        import cv2
+
+        c0 = np.float32([[0, 0], [W - 1, 0], [0, H - 1], [W - 1, H - 1]])
+        c1 = c0 + rng.uniform(-mag, mag, (4, 2)).astype(np.float32) \
+            * np.float32([W, H])
+        Hm = cv2.getPerspectiveTransform(c0, c1).astype(np.float64)
+        ang = rng.uniform(-15.0, 15.0)
+        s = float(np.exp(rng.uniform(-0.22, 0.22)))
+        S = np.eye(3)
+        S[:2] = cv2.getRotationMatrix2D((W / 2.0, H / 2.0), ang, s)
+        return (S @ Hm).astype(np.float64)
+
+    def batch(self, rng: np.random.Generator, B: int, G: int
+              ) -> Dict[str, np.ndarray]:
+        import cv2
+
+        H, W = self.hw
+        img0 = np.zeros((B, H, W, 1), np.float32)
+        img1 = np.zeros((B, H, W, 1), np.float32)
+        pts0 = np.zeros((B, G, 2), np.float32)
+        pts1 = np.zeros((B, G, 2), np.float32)
+        valid = np.zeros((B, G), bool)
+        warp01 = np.zeros((B, H, W, 2), np.float32)
+        warp_valid = np.zeros((B, H, W), bool)
+        m = 6
+        yy, xx = np.mgrid[0:H, 0:W]
+        grid = np.stack([xx, yy, np.ones_like(xx)], -1).reshape(-1, 3) \
+            .astype(np.float64)
+        for b in range(B):
+            src = self.imgs[int(rng.integers(0, len(self.imgs)))]
+            oy = int(rng.integers(0, src.shape[0] - H + 1))
+            ox = int(rng.integers(0, src.shape[1] - W + 1))
+            crop = src[oy:oy + H, ox:ox + W]
+            Hm = self._random_h(rng, H, W)
+            img0[b, ..., 0] = crop
+            img1[b, ..., 0] = cv2.warpPerspective(crop, Hm.astype(np.float32),
+                                                  (W, H))
+            q = grid @ Hm.T
+            uv = q[:, :2] / np.maximum(np.abs(q[:, 2:3]), 1e-9) \
+                * np.sign(q[:, 2:3])
+            warp01[b] = uv.reshape(H, W, 2).astype(np.float32)
+            wv = ((uv[:, 0] >= m) & (uv[:, 0] < W - m)
+                  & (uv[:, 1] >= m) & (uv[:, 1] < H - m)).reshape(H, W)
+            warp_valid[b] = wv
+            in0 = (xx >= m) & (xx < W - m) & (yy >= m) & (yy < H - m)
+            cand = np.flatnonzero((wv & in0).reshape(-1))
+            if len(cand):
+                sel = rng.choice(cand, size=min(G, len(cand)), replace=False)
+                k = len(sel)
+                pts0[b, :k] = np.stack([(sel % W), (sel // W)], 1)
+                pts1[b, :k] = warp01[b].reshape(-1, 2)[sel]
+                valid[b, :k] = True
+        return dict(img0=img0, img1=img1, pts0=pts0, pts1=pts1,
+                    pt_valid=valid, warp01=warp01, warp_valid=warp_valid)
+
+
+def train_photo_paths() -> list:
+    """The TRAINING half of the machine's real photographs: odd-indexed
+    reference webcam frames + matplotlib's grace_hopper portrait. The
+    even-indexed half is reserved for evaluation (tools/synth.PhotoScene
+    textures and tools/real_eval --split heldout) so real-image training
+    never sees the eval imagery."""
+    import glob as globmod
+    import os
+
+    from simpleslam_tpu.tools.synth import REAL_PHOTO_GLOB
+
+    paths = sorted(globmod.glob(REAL_PHOTO_GLOB))[1::2]
+    try:
+        import matplotlib
+
+        gh = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                          "sample_data", "grace_hopper.jpg")
+        if os.path.exists(gh):
+            paths.append(gh)
+    except Exception:
+        pass
+    return paths
 
 
 def photometric_augment(rng: np.random.Generator,

@@ -52,6 +52,11 @@ def main(argv=None) -> int:
                         "(corridor,boxes) — alternated across scene blocks")
     p.add_argument("--scenes", type=int, default=4,
                    help="number of scene blocks in the pair pool")
+    p.add_argument("--real_frac", type=float, default=0.0,
+                   help="fraction of steps trained on homography pairs over "
+                        "REAL photographs (models/train.PhotoPairPool; the "
+                        "training half of the real-image corpus — real "
+                        "sensor statistics the renderer cannot produce)")
     a = p.parse_args(argv)
 
     from simpleslam_tpu.models import train as train_mod
@@ -71,12 +76,21 @@ def main(argv=None) -> int:
     pool = train_mod.ScenePairPool((H, W), n_views=a.scene_views, seed=a.seed,
                                    render_hw=rhw, n_scenes=a.scenes,
                                    families=tuple(a.families.split(",")))
+    photo_pool = None
+    if a.real_frac > 0:
+        photo_pool = train_mod.PhotoPairPool(
+            (H, W), train_mod.train_photo_paths(), seed=a.seed)
+        print(f"real-photo pool: {len(photo_pool.imgs)} images/pre-scales "
+              f"({a.real_frac:.0%} of steps)", flush=True)
     rng = np.random.default_rng(a.seed + 2)
 
     key = jax.random.PRNGKey(a.seed + 1)
     t0 = time.perf_counter()
     for i in range(a.steps):
-        if rng.random() < a.scene_frac:
+        u = rng.random()
+        if photo_pool is not None and u < a.real_frac:
+            batch = photo_pool.batch(rng, a.batch, a.points)
+        elif u < a.real_frac + (1.0 - a.real_frac) * a.scene_frac:
             batch = pool.batch(rng, a.batch, a.points)
         else:
             batch = train_mod.synthetic_pair_batch(

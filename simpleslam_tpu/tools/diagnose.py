@@ -366,7 +366,7 @@ def main(argv=None) -> int:
     for sp in (spd, *(s for s in sub.choices.values() if s is not spd)):
         sp.add_argument("--seed", type=int, default=0,
                         help="scene seed (training pool is seeds 0-3)")
-        sp.add_argument("--scene", choices=("corridor", "boxes"),
+        sp.add_argument("--scene", choices=("corridor", "boxes", "photo"),
                         default="corridor")
     a = p.parse_args(argv)
     _enable_cache()
