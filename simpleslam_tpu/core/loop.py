@@ -114,6 +114,11 @@ class LoopCloser:
         self._cooldown_until = -1               # KF id; skip detection until
         self._scanned_until = 0                 # fused-mode scan() progress
         self.closures: List[LoopClosure] = []
+        # accepted loop edges (i, j, R, t, s, weight): RELATIVE Sim(3)
+        # constraints are invariant to world rewrites, so every solve keeps
+        # ALL of them — otherwise a later closure's PGO redistributes its
+        # drift into segments earlier closures already made consistent
+        self._edges: List[tuple] = []
 
     # ------------------------------------------------------------- detection
     def _ingest(self, kfs: List[Keyframe], img_hw) -> None:
@@ -249,8 +254,31 @@ class LoopCloser:
         nodes = sim3.Sim3(R=jnp.asarray(R0), t=jnp.asarray(t0),
                           s=jnp.asarray(s0))
 
-        # edges: odometry chain over live nodes + ONE loop edge, padded
-        Ep = Kp + 8
+        # edges: odometry chain over live nodes + ALL accepted loop edges,
+        # slots padded to a pow2 bucket for jit reuse. Like the sequential
+        # edges, RETAINED loop edges are refreshed from the current
+        # (post-previous-closure) estimates — their original measurements
+        # were satisfied by that closure's solve and the subsequent map
+        # rescale makes the raw values stale; refreshed, they are
+        # zero-residual STIFFENERS that stop a later closure's PGO from
+        # bending relative poses earlier closures already made consistent
+        # (measured: without them the second lap's solve dragged lap-1
+        # landmarks 0.6 m off their corrected positions).
+        def _rel(i: int, j: int) -> tuple:
+            Si = sim3.from_se3(jnp.asarray(Told[i], jnp.float32))
+            Sj = sim3.from_se3(jnp.asarray(Told[j], jnp.float32))
+            M = sim3.compose(Si, sim3.inverse(Sj))
+            return (np.asarray(M.R, np.float32), np.asarray(M.t, np.float32),
+                    float(np.asarray(M.s)))
+
+        loops = [(li, lj) + _rel(li, lj) + (lw,)
+                 for (li, lj, _R, _t, _s, lw) in self._edges] \
+            + [(cur, cand, np.asarray(S_meas.R, np.float32),
+                np.asarray(S_meas.t, np.float32),
+                float(np.asarray(S_meas.s)),
+                float(cfg.loop_weight))]
+        L = 1 << (max(len(loops), 8) - 1).bit_length()
+        Ep = Kp + L
         ei = np.zeros((Ep,), np.int32)
         ej = np.zeros((Ep,), np.int32)
         ev = np.zeros((Ep,), bool)
@@ -258,10 +286,6 @@ class LoopCloser:
         ei[:K - 1] = np.arange(1, K)
         ej[:K - 1] = np.arange(0, K - 1)
         ev[:K - 1] = True
-        ei[K - 1] = cur
-        ej[K - 1] = cand
-        ev[K - 1] = True
-        ew[K - 1] = float(cfg.loop_weight)
 
         live = jax.tree.map(lambda a: a[:K], nodes)
         _si, _sj, meas_seq = pgo.sequential_edges(live)       # (K-1,) edges
@@ -271,9 +295,10 @@ class LoopCloser:
         mR[:K - 1] = np.asarray(meas_seq.R)
         mt[:K - 1] = np.asarray(meas_seq.t)
         ms[:K - 1] = np.asarray(meas_seq.s)
-        mR[K - 1] = np.asarray(S_meas.R)
-        mt[K - 1] = np.asarray(S_meas.t)
-        ms[K - 1] = float(np.asarray(S_meas.s))
+        for n, (li, lj, lR, lt, ls, lw) in enumerate(loops):
+            r = K - 1 + n
+            ei[r], ej[r], ev[r], ew[r] = li, lj, True, lw
+            mR[r], mt[r], ms[r] = lR, lt, ls
         meas = sim3.Sim3(R=jnp.asarray(mR), t=jnp.asarray(mt),
                          s=jnp.asarray(ms))
 
@@ -337,6 +362,7 @@ class LoopCloser:
                 T_rel[:3, 3] /= sn[a]
                 world_map.poses[p_idx] = T_rel @ Tnew[a]
 
+        self._edges = loops                     # retain for future solves
         return float(c0), float(c1), max_delta
 
     # ------------------------------------------------------------ entrypoint
