@@ -218,6 +218,38 @@ def bench_e2e_fused(small: bool, use_learned: bool = True, extra_argv=()):
                                        e2e_flops * ratio, best)
     except Exception as e:
         log(f"executed-MFU accounting skipped: {type(e).__name__}: {e}")
+
+    # loop-closure cost at THIS scale (VERDICT r3 item 2): the fused-mode
+    # sync (device->host state readback + KF ingest + place vectors) and one
+    # geometric verification (full KF-pair match + 3D-3D lift + Sim3 RANSAC)
+    # — the two recurring costs --loop_closure adds per --fused_sync_every
+    # window. The straight bench corridor never ACCEPTS a closure, so the
+    # rare PGO/rewrite cost is measured by the loop fixtures instead.
+    try:
+        from simpleslam_tpu.core.fused import sync_to_host
+        from simpleslam_tpu.core.loop import LoopCloser
+
+        lc = LoopCloser(cfg, system.K, system.matcher)
+        t0 = time.perf_counter()
+        _host = sync_to_host(system, state, fc, from_row=0)
+        lc._ingest(system.kfs, (H, W))
+        dt_sync = time.perf_counter() - t0
+        n_kf = len(system.kfs)
+        if n_kf >= 2:
+            _ = lc.verify(system.kfs, system.world_map, n_kf - 1, 0,
+                          jax.random.PRNGKey(0))       # compile
+            t0 = time.perf_counter()
+            _ = lc.verify(system.kfs, system.world_map, n_kf - 1, 0,
+                          jax.random.PRNGKey(1))
+            dt_ver = time.perf_counter() - t0
+        else:
+            dt_ver = float("nan")
+        log(f"component: loop-closure costs at {H}x{W}/{fc.n_kp}kpt scale: "
+            f"sync+ingest {dt_sync * 1e3:.1f} ms ({n_kf} KFs, "
+            f"map {len(system.world_map)} pts), verify "
+            f"{dt_ver * 1e3:.1f} ms/candidate")
+    except Exception as e:
+        log(f"loop-closure cost bench skipped: {type(e).__name__}: {e}")
     return best, tflops, mfu, mfu_exec
 
 

@@ -430,7 +430,14 @@ def sync_to_host(system, state: FusedState, fc: FusedConfig,
     dev_pids = {int(p) for p, a in zip(pid, alive) if a}
     for hp in list(wm.points.keys()):
         if hp not in dev_pids:
-            wm.points.pop(hp)
+            # device compaction evicted it; keep observed landmarks in the
+            # host-side archive — loop closure across long gaps needs the
+            # OLD map region's 3D points (a revisit after eviction otherwise
+            # has zero 3D-3D pairs, measured on the 1200-frame square soak)
+            if wm.points[hp].observations:
+                wm.archive_point(hp)
+            else:
+                wm.points.pop(hp)
     grey = np.full((3,), 0.7, np.float32)
     for r in range(n_pts):
         if not alive[r]:

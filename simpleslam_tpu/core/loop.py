@@ -151,13 +151,25 @@ class LoopCloser:
     def _kp2pid(world_map: Map, kf_idx: int) -> Dict[int, int]:
         """kp index -> landmark id for one keyframe, from the observation
         lists (reference obs tuples are (kf_idx, kp_idx, desc),
-        landmark_utils.py:46-74)."""
+        landmark_utils.py:46-74). ARCHIVED landmarks count too: a revisit
+        after on-device compaction finds the old region's points only
+        there."""
         out: Dict[int, int] = {}
         for pid in world_map.points:
             for (k, kp, _d) in world_map.points[pid].observations:
                 if k == kf_idx:
                     out[int(kp)] = pid
+        for pid, (_pos, obs, _ckf) in world_map.archived.items():
+            for (k, kp, _d) in obs:
+                if k == kf_idx:
+                    out[int(kp)] = pid
         return out
+
+    @staticmethod
+    def _position_of(world_map: Map, pid: int) -> np.ndarray:
+        if pid in world_map.points:
+            return np.asarray(world_map.points[pid].position, np.float64)
+        return np.asarray(world_map.archived[pid][0], np.float64)
 
     def verify(self, kfs: List[Keyframe], world_map: Map, cur: int,
                cand: int, key) -> Optional[Tuple[sim3.Sim3, int, float]]:
@@ -188,11 +200,16 @@ class LoopCloser:
                 # landmark — a zero-information constraint that would bias
                 # the fit toward the current (drifted) relative pose
                 continue
-            Xw_c.append(np.asarray(world_map.points[pc].position, np.float64))
-            Xw_q.append(np.asarray(world_map.points[pq].position, np.float64))
+            Xw_c.append(self._position_of(world_map, pc))
+            Xw_q.append(self._position_of(world_map, pq))
         n = len(Xw_c)
         if n < max(3, int(cfg.loop_min_inliers)):
-            logger.debug("[LOOP] cand %d: only %d 3D-3D pairs", cand, n)
+            # INFO, not DEBUG: pair starvation is the one silent way a
+            # genuine revisit dies (obs-slot pressure / same-pid exclusion) —
+            # it must be visible in run logs
+            logger.info("[LOOP] cand %d: only %d 3D-3D pairs "
+                        "(%d matches, %d/%d kps mapped)", cand, n,
+                        int(mv.sum()), len(map_q), len(map_c))
             return None
 
         Tc = np.asarray(kfc.pose, np.float64)
@@ -347,6 +364,16 @@ class LoopCloser:
             world_map._positions[rows] = Xn
             world_map.version += 1
 
+        # archived landmarks ride the same anchored rewrite (their next use
+        # is a later closure's 3D-3D verification — they must live in the
+        # corrected world like everything else)
+        for pid, (pos, obs, ckf) in world_map.archived.items():
+            a = obs[0][0] if obs else ckf
+            a = min(max(int(a), 0), K - 1)
+            Xc1 = Told[a, :3, :3] @ pos + Told[a, :3, 3]
+            Xn1 = Rn[a].T @ (Xc1 - tn[a]) / sn[a]
+            world_map.archived[pid] = (Xn1, obs, ckf)
+
         # --- rewrite the per-frame trajectory, each frame anchored to the
         # latest keyframe at-or-before it (relative translation rescaled by
         # the anchor's scale correction)
@@ -404,8 +431,13 @@ class LoopCloser:
         invalidates the other candidates' geometry)."""
         start = self._scanned_until
         self._scanned_until = len(kfs)
+        n_cand = 0
         for cur in range(start, len(kfs)):
+            n_cand += len(self.detect(kfs, img_hw, cur=cur))
             lc = self.on_new_keyframe(kfs, world_map, img_hw, key, cur=cur)
             if lc is not None:
                 return lc
+        if len(kfs) > start:
+            logger.info("[LOOP] scan KFs %d..%d: %d candidates, no closure",
+                        start, len(kfs) - 1, n_cand)
         return None

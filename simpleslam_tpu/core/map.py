@@ -150,6 +150,13 @@ class Map:
         self.poses: List[np.ndarray] = []        # T_cw per *frame*
         self.keyframe_indices: List[int] = []
         self.points = _PointsView(self)
+        # landmarks evicted from the LIVE (device-bounded) store but kept
+        # for place-level reasoning: pid -> (position, observations,
+        # created_kf). Loop closure across long gaps needs the OLD map
+        # region's 3D points after on-device compaction dropped them
+        # (sync_to_host archives instead of popping); PGO rewrites update
+        # these positions too. Not counted by len()/point_ids().
+        self.archived: Dict[int, Tuple[np.ndarray, list, int]] = {}
         # bumped on every landmark mutation; lets device-side snapshot
         # caches (run_slam) invalidate precisely
         self.version = 0
@@ -212,6 +219,16 @@ class Map:
         self.version += 1
         del self._row[pid]
         self._obs.pop(pid, None)
+
+    def archive_point(self, pid: int) -> None:
+        """Move a live landmark into the archive (see ``archived``)."""
+        row = self._row.get(pid)
+        if row is None:
+            return
+        self.archived[pid] = (self._positions[row].copy(),
+                              list(self._obs.get(pid, ())),
+                              int(self._created_kf[row]))
+        self._remove_point(pid)
 
     # ---------------- Camera trajectory (parity) ---------------------------
     def add_pose(self, pose_c_w: np.ndarray, is_keyframe: bool) -> None:

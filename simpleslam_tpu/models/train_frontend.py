@@ -57,6 +57,12 @@ def main(argv=None) -> int:
                         "REAL photographs (models/train.PhotoPairPool; the "
                         "training half of the real-image corpus — real "
                         "sensor statistics the renderer cannot produce)")
+    p.add_argument("--init_from", default=None,
+                   help="warm-start from an existing checkpoint dir "
+                        "(same pinned topology) instead of random init — "
+                        "fine-tuning, e.g. adding real-photo robustness to "
+                        "a converged synthetic checkpoint without paying "
+                        "full training or risking its synthetic quality")
     a = p.parse_args(argv)
 
     from simpleslam_tpu.models import train as train_mod
@@ -68,6 +74,15 @@ def main(argv=None) -> int:
         jax.random.PRNGKey(a.seed), lr=a.lr, desc_dim=DESC_DIM,
         n_kp=a.points, dim=DIM, n_layers=N_LAYERS, image_hw=(H, W),
         total_steps=a.steps)
+    if a.init_from:
+        import orbax.checkpoint as ocp
+
+        target = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state.params)
+        params0 = ocp.StandardCheckpointer().restore(
+            os.path.abspath(a.init_from), target)
+        state = state._replace(params=params0)
+        print(f"warm-started from {a.init_from}", flush=True)
     step_fn = train_mod.make_train_step(a_model, l_model, tx, (H, W))
 
     rhw = tuple(a.render_hw) if a.render_hw else (H, W)

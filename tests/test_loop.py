@@ -303,3 +303,61 @@ def test_no_false_closure_on_distinct_views(loop_world):
     sub = list(kfs[:N_KF - 1])      # drop the revisit keyframe
     out = lc.on_new_keyframe(sub, wm, IMG_HW, jax.random.PRNGKey(0))
     assert out is None and lc.closures == []
+
+
+def test_loop_closes_through_archived_landmarks():
+    """A revisit AFTER the old map region was evicted from the live store
+    (device compaction -> sync_to_host archives it) must still verify and
+    close: _kp2pid and the 3D-3D lift read archived observations/positions,
+    and close() rewrites archived positions alongside live ones. This is
+    the 1200-frame-soak failure mode (candidate side '0 kps mapped')."""
+    rng = np.random.default_rng(13)
+    X_gt = np.column_stack([rng.uniform(-2, 2, N_LM),
+                            rng.uniform(-2, 2, N_LM),
+                            rng.uniform(4, 8, N_LM)])
+    desc = rng.normal(size=(N_LM, 64)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    W_end = _drift_warp(N_KF - 1)
+    X_drift = np.asarray(sim3.act(W_end, jnp.asarray(X_gt, jnp.float32)),
+                         np.float64)
+    uv0 = _project(X_gt)
+
+    kfs, wm = [], Map()
+    for k in range(N_KF):
+        T_est = _est_pose(k)
+        if k == 0 or k == N_KF - 1:
+            feats = _feats(uv0, desc)
+        else:
+            kp = np.column_stack([rng.uniform(0, 640, N_LM),
+                                  rng.uniform(0, 480, N_LM)])
+            d = rng.normal(size=(N_LM, 64)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            feats = _feats(kp, d)
+        kfs.append(Keyframe(idx=k, frame_idx=k, path="", feats=feats,
+                            pose=T_est.copy(), thumb=b""))
+        wm.add_pose(T_est.copy(), is_keyframe=True)
+
+    pids_old = wm.add_points(X_gt, keyframe_idx=0)
+    for kp_i, pid in enumerate(pids_old):
+        wm.points[pid].add_observation(0, kp_i, desc[kp_i])
+    pids_new = wm.add_points(X_drift, keyframe_idx=N_KF - 1)
+    for kp_i, pid in enumerate(pids_new):
+        wm.points[pid].add_observation(N_KF - 1, kp_i, desc[kp_i])
+
+    # device compaction evicted the ENTIRE old region before the revisit
+    for pid in pids_old:
+        wm.archive_point(pid)
+    assert len(wm) == N_LM and len(wm.archived) == N_LM
+
+    lc = LoopCloser(_cfg(), K_INTR, _matcher())
+    out = lc.on_new_keyframe(kfs, wm, IMG_HW, jax.random.PRNGKey(3))
+    assert out is not None, "closure must verify through the archive"
+    assert out.cand_kf == 0 and out.cur_kf == N_KF - 1
+    assert out.cost_after < 0.25 * out.cost_before
+
+    # live duplicates (anchored at the drifted endpoint) snap onto GT
+    dup_after = np.median(np.linalg.norm(wm.get_point_array() - X_gt, axis=1))
+    assert dup_after < 0.25
+    # archived points (anchored at the pinned gauge node 0) stay on GT
+    arch = np.stack([wm.archived[p][0] for p in pids_old])
+    assert np.max(np.linalg.norm(arch - X_gt, axis=1)) < 1e-3

@@ -137,3 +137,28 @@ def test_snapshot_export():
         snap["desc"][0, 0], d / np.linalg.norm(d), atol=1e-6)
     with pytest.raises(ValueError):
         m.snapshot(capacity=1, desc_dim=8)
+
+
+def test_archive_point_roundtrip():
+    """archive_point moves a live landmark (position, observations,
+    creation KF) into ``archived`` and out of every live view — the
+    host-side retention path fused sync_to_host uses when device
+    compaction evicts observed landmarks (loop closure across long gaps
+    reads 3D-3D pairs from the archive)."""
+    m = Map()
+    ids = m.add_points(np.array([[1.0, 2, 3], [4.0, 5, 6]]), keyframe_idx=2)
+    d = np.ones(8, np.float32)
+    m.points[ids[0]].add_observation(2, 11, d)
+    m.points[ids[0]].add_observation(3, 17, d)
+
+    m.archive_point(ids[0])
+    assert len(m) == 1
+    assert m.point_ids() == [ids[1]]
+    assert ids[0] not in m.points
+    pos, obs, ckf = m.archived[ids[0]]
+    np.testing.assert_allclose(pos, [1, 2, 3])
+    assert [(k, kp) for (k, kp, _d) in obs] == [(2, 11), (3, 17)]
+    assert ckf == 2
+    # unknown pid is a no-op (idempotent under repeated syncs)
+    m.archive_point(999)
+    assert len(m.archived) == 1
