@@ -405,7 +405,7 @@ def sync_to_host(system, state: FusedState, fc: FusedConfig,
         "desc01": state.desc_ring[:, :2],
         "kf_pose": state.kf_pose, "kf_frame_no": state.kf_frame_no,
         "kf_kpts": state.kf_kpts, "kf_desc": state.kf_desc,
-        "kf_valid": state.kf_valid,
+        "kf_valid": state.kf_valid, "kf_lm_row": state.kf_lm_row,
         "kf_count": state.kf_count,
         "last_kf_frame_no": state.last_kf_frame_no,
     })
@@ -497,6 +497,27 @@ def sync_to_host(system, state: FusedState, fc: FusedConfig,
                                    feats=feats,
                                    pose=np.asarray(pose, np.float64),
                                    thumb=b""))
+        if in_ring:
+            # Materialize this KF's TRACKED re-observations. do_kf seeds
+            # kf_lm_row from the frame's PnP-inlier associations (old
+            # landmarks the new KF observes) before triangulate_new adds
+            # the created rows — but only creation observations used to
+            # reach the host, mapping ~5% of a KF's keypoints. Loop
+            # closure's 3D-3D lift starves on that (measured: genuine
+            # revisits died with < 20 pairs on the 1200-frame square
+            # soak), so record one observation per (landmark, KF) here.
+            lm_row = host["kf_lm_row"][slot]
+            for kp in np.nonzero(lm_row >= 0)[0]:
+                r = int(lm_row[kp])
+                if r >= n_pts or not alive[r]:
+                    continue
+                p = int(pid[r])
+                if p not in wm.points:
+                    continue
+                mp = wm.points[p]
+                if any(o[0] == kf_no for o in mp.observations):
+                    continue            # creation obs already covers this KF
+                mp.add_observation(kf_no, int(kp), feats.desc[kp])
 
     # keyframe poses (ring slots still alive) — back-written into the
     # trajectory too, mirroring the host BA write-back (core/ba.py:140-146)

@@ -147,23 +147,30 @@ class LoopCloser:
                 if sims[i] >= self.cfg.loop_min_sim]
 
     # ---------------------------------------------------------- verification
-    @staticmethod
-    def _kp2pid(world_map: Map, kf_idx: int) -> Dict[int, int]:
+    def _kp2pid(self, world_map: Map, kf_idx: int) -> Dict[int, int]:
         """kp index -> landmark id for one keyframe, from the observation
         lists (reference obs tuples are (kf_idx, kp_idx, desc),
         landmark_utils.py:46-74). ARCHIVED landmarks count too: a revisit
         after on-device compaction finds the old region's points only
-        there."""
-        out: Dict[int, int] = {}
-        for pid in world_map.points:
-            for (k, kp, _d) in world_map.points[pid].observations:
-                if k == kf_idx:
-                    out[int(kp)] = pid
-        for pid, (_pos, obs, _ckf) in world_map.archived.items():
-            for (k, kp, _d) in obs:
-                if k == kf_idx:
-                    out[int(kp)] = pid
-        return out
+        there.
+
+        One pass over every observation builds the whole kf->(kp->pid)
+        index, cached by map version: per-candidate rebuilds are O(total
+        observations) and the dense tracked-observation record makes that
+        ~KFs x inliers entries — rebuilding it for each of the ~10
+        verifies per fused-mode scan was the scan's hotspot."""
+        cache = getattr(self, "_kp_index_cache", None)
+        if cache is None or cache[0] != world_map.version:
+            idx: Dict[int, Dict[int, int]] = {}
+            for pid in world_map.points:
+                for (k, kp, _d) in world_map.points[pid].observations:
+                    idx.setdefault(int(k), {})[int(kp)] = pid
+            for pid, (_pos, obs, _ckf) in world_map.archived.items():
+                for (k, kp, _d) in obs:
+                    idx.setdefault(int(k), {})[int(kp)] = pid
+            cache = (world_map.version, idx)
+            self._kp_index_cache = cache
+        return cache[1].get(kf_idx, {})
 
     @staticmethod
     def _position_of(world_map: Map, pid: int) -> np.ndarray:
