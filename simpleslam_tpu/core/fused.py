@@ -121,6 +121,17 @@ class FusedState:
                               # PnP-inlier association) — eviction signal
     compactions: jax.Array    # () i32 eviction passes run so far
     n_points: jax.Array       # () i32
+    ba_floor_kf: jax.Array    # () i32 first KF number whose geometry is
+                              # wholly POST the last host map rewrite (loop
+                              # closure). Local BA is suppressed while its
+                              # window still touches pre-rewrite keyframes:
+                              # the Sim3 PGO's per-node scale gradient makes
+                              # their reprojection constraints mutually
+                              # inconsistent, and a window BA against them
+                              # drags the fresh pose off (measured: tracking
+                              # decayed in waves after each KF burst and
+                              # died ~25 frames post-closure on the square
+                              # soak)
     # frame counter + rng
     frame_no: jax.Array       # () i32 (next frame number to process)
     key: jax.Array            # PRNG key
@@ -318,6 +329,7 @@ def state_from_host(system, fc: FusedConfig, prev_feats) -> FusedState:
                             jnp.int32(system.frame_ids[-1]), -1),
         compactions=jnp.int32(0),
         n_points=jnp.int32(len(wm)),
+        ba_floor_kf=jnp.int32(0),
         frame_no=jnp.int32(system.frame_ids[-1] + 1),
         # site-keyed RNG: fold_in(base, frame, site). COPY the host's base
         # key: step() donates its input state, so handing over the host
@@ -372,6 +384,7 @@ def abstract_state(fc: FusedConfig, desc_dtype=jnp.float32) -> FusedState:
         n_created=jnp.int32(0),
         last_seen=jnp.full((C,), -1, jnp.int32),
         compactions=jnp.int32(0), n_points=jnp.int32(0),
+        ba_floor_kf=jnp.int32(0),
         frame_no=jnp.int32(0), key=jax.random.PRNGKey(0),
         log_pose=jnp.zeros((fc.log_capacity, 4, 4), jnp.float32),
         log_flags=jnp.zeros((fc.log_capacity, 7), jnp.float32),
@@ -574,7 +587,12 @@ def apply_host_correction(state: FusedState, system, fc: FusedConfig,
     return state.replace(
         positions=jnp.asarray(pos, jnp.float32),
         kf_pose=jnp.asarray(kf_pose, jnp.float32),
-        Tcw=jnp.asarray(Tcw), Tcw_prev=jnp.asarray(Tcw_prev))
+        Tcw=jnp.asarray(Tcw), Tcw_prev=jnp.asarray(Tcw_prev),
+        # keyframes < kf_count carry pre-rewrite geometry — hold local BA
+        # until the window rolls wholly past them (see FusedState.ba_floor_kf).
+        # copy=True: aliasing kf_count's buffer into a second field would
+        # make the next (donating) dispatch donate one buffer twice
+        ba_floor_kf=jnp.array(state.kf_count, copy=True))
 
 
 # --------------------------------------------------------------------------- #
@@ -1137,8 +1155,16 @@ def build_fused_step(fc: FusedConfig,
             state = state.replace(
                 kf_count=state.kf_count + 1,
                 last_kf_frame_no=frame_no)
+            # suppress BA while the window still touches keyframes from
+            # before the last host map rewrite (see ba_floor_kf): the
+            # window slice reaches down to KF max(0, center-local_ba_window),
+            # so the whole window is post-rewrite once that clears the floor
+            # (with floor=0 — no rewrite yet — this is always true)
+            center_now = state.kf_count - 1
+            past_rewrite = jnp.maximum(
+                center_now - fc.local_ba_window, 0) >= state.ba_floor_kf
             run_ba = (n_new >= fc.local_ba_min_new_points) & \
-                (state.kf_count >= 2)
+                (state.kf_count >= 2) & past_rewrite
             state = jax.lax.cond(run_ba, local_ba, lambda s: s, state)
             # evict stale landmarks when the NEXT keyframe could overflow
             # the store (end of do_kf: every row index captured earlier in
