@@ -35,13 +35,13 @@ def log(*a):
 PEAK_TFLOPS_BF16 = 197.0
 
 
-def flops_of(jitted_fn, *args, compile_: bool = True):
+def flops_of(jitted_fn, *args, compile_: bool = True, **kw):
     """Model FLOPs of one dispatch via XLA cost analysis (None if the
     platform doesn't expose it). ``compile_=False`` tries the pre-compile
     (lowered) analysis first — enough for branch-forced cost programs that
     are never executed, and avoids a minutes-slow remote compile."""
     try:
-        low = jitted_fn.lower(*args)
+        low = jitted_fn.lower(*args, **kw)
         ca = None
         if not compile_:
             try:
@@ -400,8 +400,11 @@ def main() -> int:
                                     rngb.uniform(4, 30, L_)], 1), jnp.float32)
         poses = jnp.asarray(np.tile(np.eye(4), (P_, 1, 1)), jnp.float32)
         poses = poses.at[:, 0, 3].set(jnp.arange(P_) * 0.3)
+        # point-major (L, O) obs-table layout — the layout the REAL local-BA
+        # caller emits (core/fused.local_ba: pt_idx = repeat(arange(L), O))
+        O_ = E_ // L_
         cam_idx = jnp.asarray(rngb.integers(0, P_, E_), jnp.int32)
-        pt_idx = jnp.asarray(rngb.integers(0, L_, E_), jnp.int32)
+        pt_idx = jnp.asarray(np.repeat(np.arange(L_), O_), jnp.int32)
         Kb = jnp.asarray([[707.0, 0, 601.0], [0, 707.0, 183.0], [0, 0, 1.0]],
                          jnp.float32)
         pc = jnp.einsum("eij,ej->ei", poses[cam_idx][:, :3, :3], pts[pt_idx])             + poses[cam_idx][:, :3, 3]
@@ -412,25 +415,38 @@ def main() -> int:
                          e_valid=jnp.ones(E_, bool),
                          cam_free=jnp.ones(P_, bool).at[0].set(False),
                          pt_free=jnp.ones(L_, bool))
-        out_ba = ba_solve(prob, Kb, huber=2.0, max_iters=12)
-        _ = float(out_ba[3])                     # force (compile+run)
-        reps_ba = 5
-        best_ba = 0.0
-        # multiple rounds, best-of: the first dispatches after the big NN
-        # programs load carry residual warm-up latency on this platform
-        for _round in range(3):
-            t0 = time.perf_counter()
-            outs_ba = [ba_solve(prob._replace(
-                uv=uv + jnp.float32(1e-6 * (r + 1))), Kb, huber=2.0,
-                max_iters=12)[3] for r in range(reps_ba)]
-            tot_ba = outs_ba[0]
-            for o in outs_ba[1:]:
-                tot_ba = tot_ba + o
-            _ = float(tot_ba)
-            best_ba = max(best_ba, reps_ba / (time.perf_counter() - t0))
-        log(f"component: local BA (10 cams, 2048 pts, 16k edges, 12 LM iters)"
-            f" {best_ba:.2f} solves/s")
-        ba_flops = flops_of(ba_solve, prob, Kb)    # defaults match the run
+        def time_ba(fn, label):
+            _ = float(fn(uv)[3])                 # force (compile+run)
+            reps_ba = 5
+            best = 0.0
+            # multiple rounds, best-of: the first dispatches after the big
+            # NN programs load carry residual warm-up latency here
+            for _round in range(3):
+                t0 = time.perf_counter()
+                outs_ba = [fn(uv + jnp.float32(1e-6 * (r + 1)))[3]
+                           for r in range(reps_ba)]
+                tot_ba = outs_ba[0]
+                for o in outs_ba[1:]:
+                    tot_ba = tot_ba + o
+                _ = float(tot_ba)
+                best = max(best, reps_ba / (time.perf_counter() - t0))
+            log(f"component: local BA ({label}, 10 cams, 2048 pts, "
+                f"16k edges, 12 LM iters) {best:.2f} solves/s")
+            return best
+
+        best_ba_gen = time_ba(
+            lambda u: ba_solve(prob._replace(uv=u), Kb, huber=2.0,
+                               max_iters=12), "generic one-hot")
+        # point-major fast path: per-point reductions are reshapes and the
+        # coupling an (L,O,P) einsum — no (E,L) one-hot / (E,P*18) HBM
+        # traffic (the generic solve's measured wall)
+        best_ba = time_ba(
+            lambda u: ba_solve(prob._replace(uv=u), Kb, huber=2.0,
+                               max_iters=12, point_major_obs=O_),
+            "point-major")
+        log(f"component: point-major BA speedup "
+            f"{best_ba / max(best_ba_gen, 1e-9):.2f}x over generic")
+        ba_flops = flops_of(ba_solve, prob, Kb, point_major_obs=O_)
         mfu_line("ba_solve", ba_flops, best_ba)
 
         # batched independent windows in ONE dispatch (ba_solve_batch): the
@@ -445,20 +461,22 @@ def main() -> int:
         probs_b = probs_b._replace(
             uv=probs_b.uv + 1e-4 * jnp.arange(Bba, dtype=jnp.float32)[
                 :, None, None])
-        outb = ba_solve_batch(probs_b, Kb, huber=2.0, max_iters=12)
+        outb = ba_solve_batch(probs_b, Kb, huber=2.0, max_iters=12,
+                              point_major_obs=O_)
         _ = float(jnp.sum(outb[3]))                # force (compile+run)
         best_bab = 0.0
         for _round in range(3):
             t0 = time.perf_counter()
             outb = ba_solve_batch(probs_b._replace(
                 uv=probs_b.uv + jnp.float32(1e-6 * (_round + 1))), Kb,
-                huber=2.0, max_iters=12)
+                huber=2.0, max_iters=12, point_major_obs=O_)
             _ = float(jnp.sum(outb[3]))
             best_bab = max(best_bab, Bba / (time.perf_counter() - t0))
         log(f"component: BATCHED local BA x{Bba} windows/dispatch "
             f"{best_bab:.2f} solves/s ({best_bab / max(best_ba, 1e-9):.1f}x "
             f"the single-window rate)")
-        bab_flops = flops_of(ba_solve_batch, probs_b, Kb)
+        bab_flops = flops_of(ba_solve_batch, probs_b, Kb,
+                             point_major_obs=O_)
         mfu_line("ba_solve_batch", bab_flops,
                  best_bab / Bba)                   # per-dispatch rate
     except Exception as e:

@@ -1034,7 +1034,8 @@ def build_fused_step(fc: FusedConfig,
             e_valid=e_live,
             cam_free=cam_free, pt_free=pt_free)
         new_poses, new_points, _c0, _c1, _ng = ba_solve(
-            prob, Kj, huber=fc.ba_huber, max_iters=fc.local_ba_max_iters)
+            prob, Kj, huber=fc.ba_huber, max_iters=fc.local_ba_max_iters,
+            point_major_obs=O)      # edges are the (L, O) obs-table layout
 
         positions = jax.lax.dynamic_update_slice(
             state.positions,

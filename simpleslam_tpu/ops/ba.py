@@ -111,7 +111,8 @@ def _inv3x3(M: jax.Array) -> jax.Array:
 
 def _ba_solve_impl(problem: BAProblem, K: jax.Array, *,
                    huber: float = 2.0, max_iters: int = 12,
-                   init_lambda: float = 1e-3, axis_name=None):
+                   init_lambda: float = 1e-3, axis_name=None,
+                   point_major_obs: int = 0):
     """LM + Schur-complement solver body.
 
     ``axis_name``: when set, the EDGE arrays (cam_idx/pt_idx/uv/e_valid) are
@@ -121,6 +122,17 @@ def _ba_solve_impl(problem: BAProblem, K: jax.Array, *,
     parallelism of SURVEY §2 (the TPU analog of Ceres' internal threading,
     reference ba_utils.py:288). Poses/points stay replicated; the tiny
     reduced camera solve runs redundantly on every device.
+
+    ``point_major_obs`` (static): when O > 0, the caller GUARANTEES the edge
+    list is point-major — E == L*O with ``pt_idx == repeat(arange(L), O)``
+    (the layout core/fused.local_ba and the obs-table builders emit). Every
+    point-indexed reduction then becomes an exact (L, O, k) reshape-sum and
+    the camera-point coupling a tiny (L,O,P) einsum, eliminating the (E, L)
+    one-hot and the (E, P*18) expansion — the two tensors whose HBM traffic
+    dominated the generic solve (measured: x8-window batching moved solves/s
+    only 1.1x, i.e. the solver was bandwidth-bound on them, not
+    latency-bound). Ignored under ``axis_name`` (edge shards lose the
+    layout).
     """
     P = problem.poses.shape[0]
     L = problem.points.shape[0]
@@ -144,8 +156,13 @@ def _ba_solve_impl(problem: BAProblem, K: jax.Array, *,
     # loop-invariant one-hot reduction matrices (E,P)/(E,L): building the
     # (E,L) f32 tensor inside the LM body re-materializes hundreds of MB
     # per iteration at local-BA sizes
+    O = int(point_major_obs) if not axis_name else 0
+    if O and problem.cam_idx.shape[0] != L * O:
+        raise ValueError(f"point_major_obs={O} needs E == L*O "
+                         f"({problem.cam_idx.shape[0]} != {L}*{O})")
     oh_cam = (cam_idx[:, None] == jnp.arange(P)[None, :]).astype(jnp.float32)
-    oh_pt = (pt_idx[:, None] == jnp.arange(L)[None, :]).astype(jnp.float32)
+    oh_pt = None if O else \
+        (pt_idx[:, None] == jnp.arange(L)[None, :]).astype(jnp.float32)
 
     def lm_step(state):
         poses, points, lam = state
@@ -187,14 +204,24 @@ def _ba_solve_impl(problem: BAProblem, K: jax.Array, *,
         JJc = jnp.einsum("eri,erj->eij", wJcam, Jcam).reshape(-1, 36)
         U = allreduce((oh_cam.T @ JJc).reshape(P, 6, 6))
         JJp = jnp.einsum("eri,erj->eij", wJpt, Jpt).reshape(-1, 9)
-        V = allreduce((oh_pt.T @ JJp).reshape(L, 3, 3))
+        gpe = -jnp.einsum("eri,er->ei", wJpt, r)                        # (E,3)
         gc = allreduce(oh_cam.T @ -jnp.einsum("eri,er->ei", wJcam, r))  # (P,6)
-        gp = allreduce(oh_pt.T @ -jnp.einsum("eri,er->ei", wJpt, r))    # (L,3)
-        # camera-point coupling A[l, p] (L, P, 6, 3): expand the camera
-        # one-hot into the value axis, then reduce over edges by point
         cross = jnp.einsum("eri,erj->eij", wJcam, Jpt).reshape(-1, 18)
-        Z = (oh_cam[:, :, None] * cross[:, None, :]).reshape(-1, P * 18)
-        A = allreduce((oh_pt.T @ Z).reshape(L, P, 6, 3))
+        if O:
+            # point-major layout: per-point reductions are exact reshapes,
+            # and the camera-point coupling contracts over the O obs slots
+            # against the (L,O,P) camera one-hot — no (E,L) tensor at all
+            V = JJp.reshape(L, O, 9).sum(axis=1).reshape(L, 3, 3)
+            gp = gpe.reshape(L, O, 3).sum(axis=1)
+            A = jnp.einsum("lop,lox->lpx", oh_cam.reshape(L, O, P),
+                           cross.reshape(L, O, 18)).reshape(L, P, 6, 3)
+        else:
+            V = allreduce((oh_pt.T @ JJp).reshape(L, 3, 3))
+            gp = allreduce(oh_pt.T @ gpe)                               # (L,3)
+            # camera-point coupling A[l, p] (L, P, 6, 3): expand the camera
+            # one-hot into the value axis, then reduce over edges by point
+            Z = (oh_cam[:, :, None] * cross[:, None, :]).reshape(-1, P * 18)
+            A = allreduce((oh_pt.T @ Z).reshape(L, P, 6, 3))
 
         # LM damping (multiplicative on the diagonal, Ceres-style)
         eye6 = jnp.eye(6, dtype=jnp.float32)
@@ -274,22 +301,26 @@ def _ba_solve_impl(problem: BAProblem, K: jax.Array, *,
     return poses, points, c0, c1, n_good
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "point_major_obs"))
 @highest_precision
 def ba_solve(problem: BAProblem, K: jax.Array, *,
              huber: float = 2.0, max_iters: int = 12,
-             init_lambda: float = 1e-3):
+             init_lambda: float = 1e-3, point_major_obs: int = 0):
     """Run LM with Schur-complement steps; returns
-    (poses, points, cost_initial, cost_final, n_good_iters)."""
+    (poses, points, cost_initial, cost_final, n_good_iters).
+
+    ``point_major_obs``: see :func:`_ba_solve_impl` — pass the obs-slot
+    count O when the edge list is the (L, O) point-major layout."""
     return _ba_solve_impl(problem, K, huber=huber, max_iters=max_iters,
-                          init_lambda=init_lambda)
+                          init_lambda=init_lambda,
+                          point_major_obs=point_major_obs)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "point_major_obs"))
 @highest_precision
 def ba_solve_batch(problems: BAProblem, K: jax.Array, *,
                    huber: float = 2.0, max_iters: int = 12,
-                   init_lambda: float = 1e-3):
+                   init_lambda: float = 1e-3, point_major_obs: int = 0):
     """N independent BA windows in ONE dispatch.
 
     Every ``BAProblem`` field carries a leading batch axis (all windows
@@ -311,7 +342,8 @@ def ba_solve_batch(problems: BAProblem, K: jax.Array, *,
 
     def one(prob, Kb):
         return _ba_solve_impl(prob, Kb, huber=huber, max_iters=max_iters,
-                              init_lambda=init_lambda)
+                              init_lambda=init_lambda,
+                              point_major_obs=point_major_obs)
 
     return jax.vmap(one)(problems, K)
 

@@ -216,3 +216,46 @@ def test_core_ba_with_real_map_keyframe_indices():
     # plain (non-KF) frames are untouched
     np.testing.assert_allclose(m.poses[1], poses_frames[1])
     np.testing.assert_allclose(m.poses[3], poses_frames[3])
+
+
+def test_point_major_path_matches_generic():
+    """ba_solve(point_major_obs=O) must produce the SAME solve as the
+    generic one-hot path on an identical (L, O) obs-table problem — the
+    reshape/einsum reductions are an exact re-association of the one-hot
+    matmuls (core/fused.local_ba's hot layout)."""
+    from simpleslam_tpu.ops.ba import BAProblem, ba_solve
+
+    rng = np.random.default_rng(3)
+    P, L, O = 6, 128, 4
+    E = L * O
+    pts = np.stack([rng.uniform(-4, 4, L), rng.uniform(-2, 2, L),
+                    rng.uniform(5, 25, L)], 1)
+    poses = np.tile(np.eye(4), (P, 1, 1))
+    poses[:, 0, 3] = np.arange(P) * 0.4
+    cam_idx = rng.integers(0, P, E).astype(np.int32)
+    pt_idx = np.repeat(np.arange(L, dtype=np.int32), O)
+    Kb = jnp.asarray(K, jnp.float32)
+    pc = np.einsum("eij,ej->ei", poses[cam_idx][:, :3, :3],
+                   pts[pt_idx]) + poses[cam_idx][:, :3, 3]
+    uv = (pc[:, :2] / pc[:, 2:3]) * 800.0 + np.array([640.0, 480.0])
+    uv = uv + rng.normal(0, 0.8, (E, 2))
+    e_valid = rng.random(E) > 0.1               # some dead edges too
+    prob = BAProblem(
+        poses=jnp.asarray(poses, jnp.float32),
+        points=jnp.asarray(pts + rng.normal(0, 0.05, (L, 3)), jnp.float32),
+        cam_idx=jnp.asarray(cam_idx), pt_idx=jnp.asarray(pt_idx),
+        uv=jnp.asarray(uv, jnp.float32), e_valid=jnp.asarray(e_valid),
+        cam_free=jnp.ones(P, bool).at[0].set(False),
+        pt_free=jnp.ones(L, bool))
+
+    pg, xg, c0g, c1g, ng = ba_solve(prob, Kb, max_iters=8)
+    pm, xm, c0m, c1m, nm = ba_solve(prob, Kb, max_iters=8,
+                                    point_major_obs=O)
+    assert float(c1g) < 0.5 * float(c0g)        # a real optimization
+    np.testing.assert_allclose(np.asarray(c0m), np.asarray(c0g), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1m), np.asarray(c1g), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(pg), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(xm), np.asarray(xg), atol=1e-3)
+
+    with pytest.raises(ValueError):
+        ba_solve(prob, Kb, max_iters=2, point_major_obs=3)  # E != L*3
