@@ -166,7 +166,7 @@ class LoopCloser:
                 for (k, kp, _d) in world_map.points[pid].observations:
                     idx.setdefault(int(k), {})[int(kp)] = pid
             for pid, (_pos, obs, _ckf) in world_map.archived.items():
-                for (k, kp, _d) in obs:
+                for (k, kp) in obs:     # archived obs are (kf, kp) pairs
                     idx.setdefault(int(k), {})[int(kp)] = pid
             cache = (world_map.version, idx)
             self._kp_index_cache = cache
@@ -401,14 +401,17 @@ class LoopCloser:
 
     # ------------------------------------------------------------ entrypoint
     def on_new_keyframe(self, kfs: List[Keyframe], world_map: Map,
-                        img_hw, key,
-                        cur: Optional[int] = None) -> Optional[LoopClosure]:
+                        img_hw, key, cur: Optional[int] = None,
+                        cands=None) -> Optional[LoopClosure]:
         """Full detect -> verify -> close pass for keyframe ``cur``
-        (default: the newest).
+        (default: the newest). ``cands`` short-circuits detection when the
+        caller already ran it (scan() logs candidate counts — the
+        place-recognition pass over all past KFs must not run twice).
         Returns the accepted LoopClosure (already applied) or None."""
         if cur is None:
             cur = len(kfs) - 1
-        cands = self.detect(kfs, img_hw, cur=cur)
+        if cands is None:
+            cands = self.detect(kfs, img_hw, cur=cur)
         for cand, sim_score in cands:
             ver = self.verify(kfs, world_map, cur, cand, key)
             if ver is None:
@@ -440,8 +443,10 @@ class LoopCloser:
         self._scanned_until = len(kfs)
         n_cand = 0
         for cur in range(start, len(kfs)):
-            n_cand += len(self.detect(kfs, img_hw, cur=cur))
-            lc = self.on_new_keyframe(kfs, world_map, img_hw, key, cur=cur)
+            cands = self.detect(kfs, img_hw, cur=cur)
+            n_cand += len(cands)
+            lc = self.on_new_keyframe(kfs, world_map, img_hw, key, cur=cur,
+                                      cands=cands)
             if lc is not None:
                 return lc
         if len(kfs) > start:

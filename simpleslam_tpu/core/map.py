@@ -151,12 +151,14 @@ class Map:
         self.keyframe_indices: List[int] = []
         self.points = _PointsView(self)
         # landmarks evicted from the LIVE (device-bounded) store but kept
-        # for place-level reasoning: pid -> (position, observations,
-        # created_kf). Loop closure across long gaps needs the OLD map
-        # region's 3D points after on-device compaction dropped them
-        # (sync_to_host archives instead of popping); PGO rewrites update
-        # these positions too. Not counted by len()/point_ids().
+        # for place-level reasoning: pid -> (position, [(kf_idx, kp_idx)],
+        # created_kf) — descriptors dropped, see archive_point. Loop
+        # closure across long gaps needs the OLD map region's 3D points
+        # after on-device compaction dropped them (sync_to_host archives
+        # instead of popping); PGO rewrites update these positions too.
+        # Not counted by len()/point_ids(). Bounded by archive_cap.
         self.archived: Dict[int, Tuple[np.ndarray, list, int]] = {}
+        self.archive_cap = 200_000      # ~KITTI-00 scale x2; see archive_point
         # bumped on every landmark mutation; lets device-side snapshot
         # caches (run_slam) invalidate precisely
         self.version = 0
@@ -221,14 +223,31 @@ class Map:
         self._obs.pop(pid, None)
 
     def archive_point(self, pid: int) -> None:
-        """Move a live landmark into the archive (see ``archived``)."""
+        """Move a live landmark into the archive (see ``archived``).
+
+        Descriptors are DROPPED on archive: loop closure only consumes
+        (kf_idx, kp_idx) pairs (via ``LoopCloser._kp2pid``) plus the
+        position — keeping the densified tracked-observation descriptor
+        arrays would cost O(KFs x inliers x desc_dim) of dead weight per
+        long soak (ADVICE r4). The archive is also bounded: past
+        ``archive_cap`` landmarks the oldest (smallest created_kf) 10%%
+        are pruned — a revisit after that horizon relocalizes through the
+        place-vector scan + PnP instead of the 3D-3D lift."""
         row = self._row.get(pid)
         if row is None:
             return
-        self.archived[pid] = (self._positions[row].copy(),
-                              list(self._obs.get(pid, ())),
+        obs_pairs = [(int(k), int(kp))
+                     for (k, kp, _d) in self._obs.get(pid, ())]
+        self.archived[pid] = (self._positions[row].copy(), obs_pairs,
                               int(self._created_kf[row]))
         self._remove_point(pid)
+        if len(self.archived) > self.archive_cap:
+            drop = max(1, self.archive_cap // 10)
+            oldest = sorted(self.archived.items(),
+                            key=lambda kv: kv[1][2])[:drop]
+            for k, _v in oldest:
+                del self.archived[k]
+            self.version += 1
 
     # ---------------- Camera trajectory (parity) ---------------------------
     def add_pose(self, pose_c_w: np.ndarray, is_keyframe: bool) -> None:

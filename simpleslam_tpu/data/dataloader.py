@@ -168,7 +168,7 @@ def load_calibration(args) -> Dict[str, Optional[np.ndarray]]:
             with open(calib_txt) as f:
                 for line in f:
                     key, _, rest = line.partition(":")
-                    vals = np.fromstring(rest, sep=" ")
+                    vals = np.fromiter(rest.split(), dtype=np.float64)
                     if key.strip() in ("P0", "P1") and vals.size == 12:
                         P[key.strip()] = vals.reshape(3, 4)
             if "P0" in P:

@@ -181,7 +181,8 @@ class ScenePairPool:
                  families: Tuple[str, ...] = ("corridor",),
                  cache_dir: str = "/tmp/scenepool_cache"):
         from simpleslam_tpu.tools.synth import (DEFAULT_K, SCENE_FAMILIES,
-                                                make_trajectory)
+                                                make_trajectory,
+                                                renderer_version)
         H, W = hw
         if render_hw is None:
             render_hw = (H, W)
@@ -213,9 +214,11 @@ class ScenePairPool:
             fam = families[sc % len(families)]
             T = make_trajectory(per, speed=float(rng.uniform(0.2, 0.8)),
                                 yaw_rate_deg=float(rng.uniform(0.0, 0.8)))
+            # renderer_version(): a renderer change must invalidate cached
+            # blocks, not silently retrain on stale imagery
             key = hashlib.sha1(
-                f"{fam}|{seed + sc}|{Hr}x{Wr}|{per}".encode()
-                + K.tobytes() + T.tobytes()).hexdigest()[:16]
+                f"{fam}|{seed + sc}|{Hr}x{Wr}|{per}|{renderer_version()}"
+                .encode() + K.tobytes() + T.tobytes()).hexdigest()[:16]
             cpath = os.path.join(cache_dir, f"block_{key}.npz") \
                 if cache_dir else None
             if cpath and os.path.exists(cpath):

@@ -327,15 +327,17 @@ def ba_solve_batch(problems: BAProblem, K: jax.Array, *,
     padded to one static shape); ``K`` is (3,3) shared or (B,3,3) per-window.
     Returns the same tuple as :func:`ba_solve` with a leading batch axis.
 
-    Why: a single local-BA window is LATENCY-bound — 12 sequential LM
-    iterations of small-kernel chains leave the chip ~99% idle (bench r3:
-    52.8 solves/s = 0.4% MFU). vmap turns the same program into B-wide
-    batched kernels at near-constant wall time, so independent windows
-    (offline SfM refinement sweeps, tools/sfm.py checkpoint GBAs, multi-map
-    / parameter-sweep workloads, the role Ceres' thread pool plays in the
-    reference at ba_utils.py:288-293) scale by ~B. The vmapped while_loop
-    runs until every window converges (per-window early-exit masks into
-    no-op iterations, which is exactly the dense-batch TPU trade).
+    MEASURED conclusion (BASELINE.md round 4): x8 batching gave only
+    ~1.1x solves/s at the 10-cam/2048-pt/16k-edge shape — the per-window
+    Schur assembly + LM chain is real throughput-bound work, NOT dispatch
+    latency (the round-3 latency hypothesis this refuted). Keep this entry
+    point as a many-independent-windows convenience (offline SfM refinement
+    sweeps, tools/sfm.py checkpoint GBAs, multi-map / parameter-sweep
+    workloads — the role Ceres' thread pool plays in the reference at
+    ba_utils.py:288-293); do not expect it to multiply throughput at this
+    shape. The vmapped while_loop runs until every window converges
+    (per-window early-exit masks into no-op iterations — the dense-batch
+    TPU trade).
     """
     if K.ndim == 2:
         K = jnp.broadcast_to(K, (problems.poses.shape[0],) + K.shape)

@@ -29,6 +29,17 @@ DEFAULT_K = np.array([[707.0912, 0.0, 601.8873],
 DEFAULT_HW = (370, 1226)      # KITTI grayscale camera resolution
 
 
+def renderer_version() -> str:
+    """Short hash of this module's source: disk caches of rendered views
+    (bench frames, models/train.ScenePairPool blocks) fold it into their
+    keys so ANY renderer change invalidates them instead of silently
+    reusing stale imagery."""
+    import hashlib
+
+    with open(__file__, "rb") as f:
+        return hashlib.sha1(f.read()).hexdigest()[:12]
+
+
 def make_trajectory(n_frames: int, speed: float = 0.5,
                     yaw_rate_deg: float = 0.25) -> np.ndarray:
     """(N,4,4) T_wc camera-to-world poses: forward motion with gentle yaw."""

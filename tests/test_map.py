@@ -157,8 +157,26 @@ def test_archive_point_roundtrip():
     assert ids[0] not in m.points
     pos, obs, ckf = m.archived[ids[0]]
     np.testing.assert_allclose(pos, [1, 2, 3])
-    assert [(k, kp) for (k, kp, _d) in obs] == [(2, 11), (3, 17)]
+    # descriptors are dropped on archive (ADVICE r4): loop closure only
+    # consumes (kf_idx, kp_idx) pairs + the position
+    assert obs == [(2, 11), (3, 17)]
     assert ckf == 2
     # unknown pid is a no-op (idempotent under repeated syncs)
     m.archive_point(999)
     assert len(m.archived) == 1
+
+
+def test_archive_cap_prunes_oldest():
+    """The archive is bounded: past ``archive_cap`` the oldest-created 10%
+    are pruned (VERDICT r4 item 7 — Map.archived must not grow without
+    bound on long soaks)."""
+    m = Map()
+    m.archive_cap = 20
+    ids = m.add_points(np.random.default_rng(0).normal(size=(30, 3)))
+    for i, pid in enumerate(ids):
+        m._created_kf[m._row[pid]] = i          # distinct creation order
+        m.archive_point(pid)
+    assert len(m.archived) <= 20
+    # survivors are the newest creations
+    kept_ckf = sorted(ckf for (_p, _o, ckf) in m.archived.values())
+    assert kept_ckf[0] > 0 and kept_ckf[-1] == 29
