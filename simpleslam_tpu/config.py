@@ -160,6 +160,11 @@ class SLAMConfig:
                                            # never rewrites the map)
     trace_dir: str = ""                    # jax profiler trace output dir
     prefetch: int = 1                      # threaded frame prefetch depth (0=off)
+    stage_all: bool = False                # fused mode: pre-decode + upload
+                                           # EVERY frame to device memory
+                                           # before the timed loop (soak
+                                           # benchmarking: measures the SLAM
+                                           # system, not host PNG decode)
     save_state: str = ""                   # serialize pipeline state here at end/SIGINT
     resume: str = ""                       # resume pipeline state from this file
     viz_ba: bool = False                   # show before/after-BA reprojection overlays
@@ -349,6 +354,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write a jax profiler trace here (open with xprof)")
     g.add_argument("--prefetch", type=int, default=d.prefetch,
                    help="Threaded frame prefetch depth (0 = synchronous)")
+    g.add_argument("--stage_all", action="store_true",
+                   help="Fused mode: pre-decode + upload every frame to "
+                        "device memory before the timed loop (soak "
+                        "benchmarking; ~0.5 MB HBM per grayscale KITTI "
+                        "frame)")
     g.add_argument("--save_state", default=d.save_state,
                    help="Serialize pipeline state to this file at end of run "
                         "(and on SIGINT)")

@@ -623,6 +623,28 @@ def build_fused_step(fc: FusedConfig,
     Kj = jnp.asarray(np.asarray(K), jnp.float32)
     N, Kw, O, C = fc.n_kp, fc.kf_ring, fc.obs_slots, fc.map_capacity
 
+    # NN weights as jit ARGUMENTS, not closure constants. A closed-over
+    # param pytree is baked into the HLO as literals, duplicated at every
+    # call site and lax.cond branch — measured: a 724 MB compiled fused-step
+    # binary whose upload through the ~150 MB/s device tunnel cost ~300 s at
+    # every process start (even on a compile-cache HIT). When extract/match
+    # are bound methods of the learned bundles (models/pipeline), use their
+    # parametric twins (.fn_p) and thread the weights through the dispatch;
+    # classical fns have no weights and trace exactly as before.
+    _det_owner = getattr(extract_fn, "__self__", None)
+    _mat_owner = getattr(match_fn, "__self__", None)
+    det_p = getattr(_det_owner, "fn_p", None)
+    mat_p = getattr(_mat_owner, "fn_p", None)
+    nn_host = (_det_owner.params if det_p else None,
+               _mat_owner.params if mat_p else None)
+    _nn = [nn_host]          # trace-time cell; step sets it to its traced arg
+
+    def detect(img) -> Features:
+        return det_p(_nn[0][0], img) if det_p else extract_fn(img)
+
+    def match(f0: Features, f1: Features) -> Matches:
+        return mat_p(_nn[0][1], f0, f1) if mat_p else match_fn(f0, f1)
+
     def features_of(state) -> Features:
         return Features(kpts=state.prev_kpts, desc=state.prev_desc,
                         scores=jnp.zeros((N,), jnp.float32),
@@ -661,7 +683,7 @@ def build_fused_step(fc: FusedConfig,
         """feature_matcher + F-RANSAC filter, fully on device (the host
         `frontend.match_with_ransac` without the scalar readbacks; keeps the
         <8-valid-matches passthrough quirk, features_utils.py:185-200)."""
-        m = match_fn(f0, f1)
+        m = match(f0, f1)
         p0 = f0.kpts[m.idx0]
         p1 = f1.kpts[m.idx1]
         F, inl, ok = epipolar.find_fundamental(
@@ -776,7 +798,7 @@ def build_fused_step(fc: FusedConfig,
                 sims = jnp.where(live, sims, -2.0)
                 best = jnp.argmax(sims).astype(jnp.int32)
                 ok_sim = sims[best] >= fc.greloc_min_sim
-                m_g = match_fn(kf_features(state, best), feats)
+                m_g = match(kf_features(state, best), feats)
                 rows_g = state.kf_lm_row[best][m_g.idx0]
                 rows_gs = jnp.maximum(rows_g, 0)
                 ok_g = m_g.valid & (rows_g >= 0) & state.alive[rows_gs] & \
@@ -803,7 +825,7 @@ def build_fused_step(fc: FusedConfig,
                 return greloc_or_essential(None)
 
             slot = (state.kf_count - 1) % Kw
-            m = match_fn(kf_features(state, slot), feats)
+            m = match(kf_features(state, slot), feats)
             rows = state.kf_lm_row[slot][m.idx0]
             rows_s = jnp.maximum(rows, 0)
             ok_r = m.valid & (rows >= 0) & state.alive[rows_s] & \
@@ -1187,8 +1209,7 @@ def build_fused_step(fc: FusedConfig,
             state, n_new, ba_ran = no_kf(state)
         return state, is_kf, n_new, ba_ran, consider
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state: FusedState, image: jax.Array) -> FusedState:
+    def _step_body(state: FusedState, image: jax.Array) -> FusedState:
         """Process one frame fully on device. ``image``: (H,W) or (H,W,3)
         uint8/float; undistortion applied when maps were built."""
         img = image
@@ -1203,7 +1224,7 @@ def build_fused_step(fc: FusedConfig,
 
         frame_no = state.frame_no
 
-        feats = extract_fn(img)
+        feats = detect(img)
 
         T_new, pnp_ok, relocd, grelocd, n_inl, n_cand, assoc, inl = track(
             state, feats, frame_no)
@@ -1239,4 +1260,19 @@ def build_fused_step(fc: FusedConfig,
             frame_no=frame_no + 1)
         return state
 
+    if det_p or mat_p:
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_p(state: FusedState, image: jax.Array, nn) -> FusedState:
+            _nn[0] = nn          # traced pytree; inner detect/match read it
+            return _step_body(state, image)
+
+        nn_dev = jax.device_put(nn_host)     # resident, uploaded once
+
+        def step(state: FusedState, image: jax.Array) -> FusedState:
+            return step_p(state, image, nn_dev)
+
+        # cost-analysis surface for bench.flops_of / tools/fused_cost
+        step.lower = lambda state, image: step_p.lower(state, image, nn_dev)
+    else:
+        step = jax.jit(_step_body, donate_argnums=(0,))
     return step

@@ -111,9 +111,19 @@ class LearnedExtractor:
 
     def fn(self, gray: jax.Array) -> Features:
         """(H, W) float gray [0..255] -> padded Features."""
+        return self.fn_p(self.params, gray)
+
+    def fn_p(self, params, gray: jax.Array) -> Features:
+        """Parametric twin of :meth:`fn`: weights passed as a pytree
+        argument instead of a closure constant. Jitted consumers that trace
+        the whole pipeline (core/fused.build_fused_step) use this so the
+        weights become jit ARGUMENTS — closed-over params are baked into
+        the HLO as literals, duplicated per call site and lax.cond branch
+        (measured: a 724 MB fused-step binary, ~300 s to ship through the
+        device tunnel at every process start)."""
         img = aliked_mod.preprocess_image(gray)
         self.image_hw = gray.shape[:2]
-        feats = aliked_mod.extract_batch(self.model, self.params,
+        feats = aliked_mod.extract_batch(self.model, params,
                                          img[None], self.max_kp)
         return jax.tree.map(lambda x: x[0], feats)
 
@@ -144,8 +154,12 @@ class LearnedMatcher:
                 self.params = _graft_matching(self.params, loaded["lightglue"])
 
     def fn(self, feats0: Features, feats1: Features) -> Matches:
+        return self.fn_p(self.params, feats0, feats1)
+
+    def fn_p(self, params, feats0: Features, feats1: Features) -> Matches:
+        """Parametric twin of :meth:`fn` (see LearnedExtractor.fn_p)."""
         hw = self.extractor.image_hw or (480, 640)
-        return lg_mod.match_pair(self.model, self.params, feats0, feats1,
+        return lg_mod.match_pair(self.model, params, feats0, feats1,
                                  (int(hw[0]), int(hw[1])), self.min_conf)
 
 

@@ -128,11 +128,16 @@ def _ba_solve_impl(problem: BAProblem, K: jax.Array, *,
     (the layout core/fused.local_ba and the obs-table builders emit). Every
     point-indexed reduction then becomes an exact (L, O, k) reshape-sum and
     the camera-point coupling a tiny (L,O,P) einsum, eliminating the (E, L)
-    one-hot and the (E, P*18) expansion — the two tensors whose HBM traffic
-    dominated the generic solve (measured: x8-window batching moved solves/s
-    only 1.1x, i.e. the solver was bandwidth-bound on them, not
-    latency-bound). Ignored under ``axis_name`` (edge shards lose the
-    layout).
+    one-hot and the (E, P*18) expansion — 99.5% of the generic solve's
+    counted FLOPs (12.1 of 13.17 GF/iter at 10/2048/16k) were that
+    indicator-matmul garbage work. Wall-clock gain is only ~1.17x because
+    the solve is SEQUENTIAL-DEPTH bound, not FLOP/bandwidth bound: per
+    iteration it moves ~25 MB (31 us at HBM roofline) and computes ~0.08 GF
+    (<1 us at peak) yet takes ~10 ms — the cost is ~15 unfusable reduction
+    kernels plus the 60x60 factorization's 60-step scan, each paying fixed
+    small-kernel issue latency (measured component times + the full
+    depth-bound argument: BASELINE.md round-5 rows). Ignored under
+    ``axis_name`` (edge shards lose the layout).
     """
     P = problem.poses.shape[0]
     L = problem.points.shape[0]

@@ -91,6 +91,10 @@ class SLAMResult:
     map_compactions: int = 0    # fused-mode eviction passes (long sequences)
     kf_frames: List[int] = field(default_factory=list)  # KF source frame ids
     loop_closures: int = 0      # accepted loop closures (--loop_closure)
+    # accepted closure records (core/loop.LoopClosure: cur_kf/cand_kf are
+    # keyframe sequence ids; scale is the measured Sim3 drift) — the
+    # host-vs-fused parity test asserts the two modes accept the same edges
+    closure_events: List[object] = field(default_factory=list)
     gba_runs: int = 0           # completed global-BA solves (--gba_enable)
 
 
@@ -682,8 +686,20 @@ def _run_fused_loop(cfg: SLAMConfig, seq: Sequence, system: "SLAMSystem",
                             match_fn, system._undistort_maps)
     state = state_from_host(system, fc, prev_feats)
 
-    pf = Prefetcher(seq, depth=max(1, cfg.prefetch), start=start_idx,
-                    transform=jnp.asarray)
+    if cfg.stage_all:
+        # soak benchmarking: decode + upload everything up front so the
+        # timed loop measures the fused step, not the single-core PNG
+        # decoder or the debug tunnel's ~150 MB/s host->device path (the
+        # same staging tools/diagnose e2e --stage_all uses)
+        logging.getLogger("main").info(
+            "[FUSED] staging %d frames on device...", len(seq) - start_idx)
+        staged = [jax.device_put(jnp.asarray(seq.frame(i)))
+                  for i in range(start_idx, len(seq))]
+        _ = np.asarray(staged[-1][:1, :1])          # force the uploads
+        pf = zip(range(start_idx, len(seq)), staged)
+    else:
+        pf = Prefetcher(seq, depth=max(1, cfg.prefetch), start=start_idx,
+                        transform=jnp.asarray)
     sync_every = int(cfg.fused_sync_every)
     # loop-closure mode needs REAL periodic syncs (keyframe features must be
     # captured off the device ring before newer keyframes overwrite them, and
@@ -732,7 +748,7 @@ def _run_fused_loop(cfg: SLAMConfig, seq: Sequence, system: "SLAMSystem",
                     # partial sync: force the pose log so far (observes all
                     # dispatches; keeps divergence bounded for live viz)
                     _ = np.asarray(state.Tcw)
-        pf.close()
+        getattr(pf, "close", lambda: None)()        # staged zip has no close
     with system.timer.stage("fused_sync"):
         host = sync_to_host(system, state, fc, from_row=log_consumed)
     if t_warm is not None and n_dispatched > 30:
@@ -939,6 +955,8 @@ def run(cfg: SLAMConfig) -> SLAMResult:
                    if i < len(system.frame_ids)],
         loop_closures=(len(system.loop_closer.closures)
                        if system.loop_closer is not None else 0),
+        closure_events=(list(system.loop_closer.closures)
+                        if system.loop_closer is not None else []),
         gba_runs=system.gba_runs)
 
     out_png = f"trajectory_{cfg.dataset}.png"

@@ -15,8 +15,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from simpleslam_tpu.config import SLAMConfig
+from simpleslam_tpu.config import SLAMConfig, parse_config
 from simpleslam_tpu.core.frontend import Matcher
+from simpleslam_tpu.run_slam import run
+from simpleslam_tpu.tools.synth import generate_kitti_sequence
 from simpleslam_tpu.core.keyframe import Keyframe
 from simpleslam_tpu.core.loop import LoopCloser, place_vector
 from simpleslam_tpu.core.map import Map
@@ -361,3 +363,67 @@ def test_loop_closes_through_archived_landmarks():
     # archived points (anchored at the pinned gauge node 0) stay on GT
     arch = np.stack([wm.archived[p][0] for p in pids_old])
     assert np.max(np.linalg.norm(arch - X_gt, axis=1)) < 1e-3
+
+
+def test_host_vs_fused_loop_closure_parity(tmp_path_factory, tmp_path,
+                                           monkeypatch):
+    """The host driver (detect per new KF) and the fused driver (scan at
+    every periodic sync, core/fused sync cadence) share LoopCloser but
+    diverge in WHEN keyframe features reach the host and HOW the PGO rewrite
+    is applied (run_slam._run_fused_loop + core/fused.apply_host_correction
+    vs the in-place host rewrite). VERDICT r4 item 6: prove both paths
+    accept the SAME loop edge on one fixture and land on consistent
+    post-PGO trajectories.
+
+    Fixture = the BASELINE.md square-loop fixture (boxes scene, seed 5,
+    180x410, 512 kpts): a KITTI-shaped closed lap whose monocular drift the
+    closure corrects. Measured (1-CPU reference run): host closes
+    KF 37 <-> 3 (s=0.366), fused closes KF 36 <-> 3 (s=0.303); Sim3-aligned
+    inter-mode deltas med 1.98 m / max 5.59 m on the ~65 m path."""
+    base = str(tmp_path_factory.mktemp("lc_parity_seq"))
+    generate_kitti_sequence(base, n_frames=130, seed=5, hw=(180, 410),
+                            scene="boxes", trajectory="square")
+    monkeypatch.chdir(tmp_path)
+    argv = ["--dataset", "kitti", "--base_dir", base, "--headless",
+            "--no_viz3d", "--max_features", "512", "--map_capacity", "4096",
+            "--loop_closure"]
+    res_host = run(parse_config(argv))
+    res_fused = run(parse_config(argv + ["--fused"]))
+
+    # both modes accept exactly one closure on this lap
+    assert res_host.loop_closures == 1, "host mode must close the loop"
+    assert res_fused.loop_closures == 1, "fused mode must close the loop"
+    ch, cf = res_host.closure_events[0], res_fused.closure_events[0]
+
+    # ... over the SAME edge: identical candidate region, and the revisit
+    # keyframe within one fused sync period (the fused scan only sees new
+    # keyframes every lc_every=32 dispatched frames)
+    cand_f_h = res_host.kf_frames[ch.cand_kf]
+    cand_f_f = res_fused.kf_frames[cf.cand_kf]
+    cur_f_h = res_host.kf_frames[ch.cur_kf]
+    cur_f_f = res_fused.kf_frames[cf.cur_kf]
+    assert abs(cand_f_h - cand_f_f) <= 8, (cand_f_h, cand_f_f)
+    assert abs(cur_f_h - cur_f_f) <= 32, (cur_f_h, cur_f_f)
+    # ... measuring consistent Sim3 drift (scale within 35%: the consensus
+    # sets differ between modes, the drift they measure must not)
+    assert 0.65 < ch.scale / cf.scale < 1.55, (ch.scale, cf.scale)
+
+    # post-PGO trajectories tell the same story (gauge-aligned): the two
+    # modes' RANSAC/BA histories legitimately differ, but after each one's
+    # closure rewrite the shapes must agree to a few % of the ~65 m path
+    chc = {f: -p[:3, :3].T @ p[:3, 3]
+           for f, p in zip(res_host.frame_ids, res_host.poses_cw)}
+    cfc = {f: -p[:3, :3].T @ p[:3, 3]
+           for f, p in zip(res_fused.frame_ids, res_fused.poses_cw)}
+    common = sorted(set(chc) & set(cfc))
+    assert len(common) == 130
+    A = np.stack([cfc[f] for f in common])
+    B = np.stack([chc[f] for f in common])
+    from simpleslam_tpu.viz.trajectory2d import umeyama_sim3
+    s, R, t = umeyama_sim3(A, B)
+    d = np.linalg.norm(s * A @ R.T + t - B, axis=1)
+    assert np.median(d) < 2.5, f"median inter-mode delta {np.median(d):.2f}"
+    assert d.max() < 7.0, f"max inter-mode delta {d.max():.2f}"
+    # neither mode fell apart (corners are the hard part of this fixture)
+    assert res_host.tracking_lost_count <= 12
+    assert res_fused.tracking_lost_count <= 12
