@@ -214,10 +214,20 @@ class ScenePairPool:
             fam = families[sc % len(families)]
             T = make_trajectory(per, speed=float(rng.uniform(0.2, 0.8)),
                                 yaw_rate_deg=float(rng.uniform(0.0, 0.8)))
+            # the photo family's DEFAULT texture set is the held-out eval
+            # split (tools/synth._default_photo_set) — training scenes must
+            # use the disjoint TRAINING half or the eval family would show
+            # training imagery
+            fam_kw = {}
+            split_tag = ""
+            if fam == "photo":
+                fam_kw["photos"] = train_photo_paths()
+                split_tag = "|trainsplit"
             # renderer_version(): a renderer change must invalidate cached
             # blocks, not silently retrain on stale imagery
             key = hashlib.sha1(
                 f"{fam}|{seed + sc}|{Hr}x{Wr}|{per}|{renderer_version()}"
+                f"{split_tag}"
                 .encode() + K.tobytes() + T.tobytes()).hexdigest()[:16]
             cpath = os.path.join(cache_dir, f"block_{key}.npz") \
                 if cache_dir else None
@@ -225,7 +235,8 @@ class ScenePairPool:
                 z = np.load(cpath)
                 imgs, pts, depth = z["imgs"], z["pts"], z["depth"]
             else:
-                scene = SCENE_FAMILIES[fam](seed=seed + sc, hw=(Hr, Wr), K=K)
+                scene = SCENE_FAMILIES[fam](seed=seed + sc, hw=(Hr, Wr), K=K,
+                                            **fam_kw)
                 # box scenes have featureless sky; keep yaw gentle so the
                 # view retains geometry, and always move forward for parallax
                 out = [scene.render_with_geometry(T[i]) for i in range(per)]

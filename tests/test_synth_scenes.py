@@ -86,3 +86,41 @@ def test_box_scene_e2e_classical(tmp_path_factory, tmp_path, monkeypatch):
     assert res.n_landmarks > 50
     assert res.tracking_lost_count == 0
     assert res.ate is not None and res.ate < 1.0
+
+
+def test_photo_scene_registered_and_splits_disjoint():
+    """PhotoScene is a first-class family, and its default texture set (the
+    EVAL split) is disjoint from the real-image TRAINING set — the property
+    that makes photo-family rows held-out (VERDICT r4 item 3)."""
+    from simpleslam_tpu.models.train import train_photo_paths
+    from simpleslam_tpu.tools.synth import PhotoScene, _default_photo_set
+
+    assert SCENE_FAMILIES["photo"] is PhotoScene
+    ev, tr = set(_default_photo_set()), set(train_photo_paths())
+    assert ev and tr
+    assert not (ev & tr), "eval photos leaked into the training split"
+
+
+def test_photo_scene_e2e_classical(tmp_path_factory, tmp_path, monkeypatch):
+    """Classical ORB VO bootstraps and tracks on the photo family (real
+    photographic textures, focal-preserving crop calib — same protocol as
+    the boxes fixture above). Measured ATE 0.956 / 0.848 / 0.742 m over
+    seeds 21/22/23, all 0 lost; bound 1.3 m (VERDICT r4 item 3's pinned
+    test). The full-scale learned-pipeline row lives in BASELINE.md
+    (diagnose e2e --scene photo --seed 200: ATE 0.14 m, 0 lost)."""
+    from simpleslam_tpu.config import parse_config
+    from simpleslam_tpu.run_slam import run
+
+    base = str(tmp_path_factory.mktemp("photo_seq"))
+    generate_kitti_sequence(base, n_frames=12, seed=21, hw=(180, 410),
+                            speed=0.4, yaw_rate_deg=0.2, scene="photo",
+                            calib="crop")
+    monkeypatch.chdir(tmp_path)
+    cfg = parse_config(["--dataset", "kitti", "--base_dir", base,
+                        "--headless", "--no_viz3d", "--max_features", "512",
+                        "--map_capacity", "2048"])
+    res = run(cfg)
+    assert len(res.poses_cw) == 12
+    assert res.n_landmarks > 50
+    assert res.tracking_lost_count == 0
+    assert res.ate is not None and res.ate < 1.3
