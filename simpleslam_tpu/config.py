@@ -147,6 +147,37 @@ class SLAMConfig:
     loop_grid: int = 4                     # G x G descriptor pooling grid
     loop_topk: int = 2                     # candidates to geometric-verify
     loop_pgo_iters: int = 25               # LM iterations for the pose graph
+    loop_min_inlier_frac: float = 0.03     # inlier floor as a FRACTION of the
+                                           # current KF's valid keypoints (the
+                                           # effective gate is max(min_inliers,
+                                           # frac * n_kp)): a fixed count tuned
+                                           # on 512-kpt fixtures let a 31-inlier
+                                           # aliased fit through at 2048 kpts
+                                           # (measured on the 1200-frame square
+                                           # soak; genuine revisits there carry
+                                           # 400-550 inliers)
+    loop_confirm: int = 2                  # odometry-consistent geometric
+                                           # verifications (on distinct KFs)
+                                           # required before a closure is
+                                           # APPLIED. 1 = apply on first verify
+                                           # (pre-round-5). Perceptual aliasing
+                                           # in repetitive scenes can pass one
+                                           # Sim3 RANSAC; an independent fit 1+
+                                           # KFs later that implies the SAME
+                                           # drift correction almost never does
+    loop_confirm_window: int = 12          # pending verification expires after
+                                           # the camera advances this many KFs
+                                           # without a consistent confirmation
+    loop_confirm_strong: float = 0.15      # strong-evidence bypass: a closure
+                                           # whose inliers cover >= this
+                                           # fraction of the KF's valid
+                                           # keypoints applies immediately
+                                           # (no 2nd-scan wait). Aliased fits
+                                           # are low-coverage (1.5% measured);
+                                           # genuine full-scale revisits carry
+                                           # 20-27%. Only the ambiguous band
+                                           # [min_inlier_frac, strong) needs
+                                           # temporal confirmation
     # ---- global relocalization (kidnapped robot; beyond reference) --------
     global_reloc: bool = True              # after sustained loss, PnP against
                                            # place-recognition candidates over
@@ -332,6 +363,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--loop_grid", type=int, default=d.loop_grid)
     g.add_argument("--loop_topk", type=int, default=d.loop_topk)
     g.add_argument("--loop_pgo_iters", type=int, default=d.loop_pgo_iters)
+    g.add_argument("--loop_min_inlier_frac", type=float,
+                   default=d.loop_min_inlier_frac)
+    g.add_argument("--loop_confirm", type=int, default=d.loop_confirm)
+    g.add_argument("--loop_confirm_window", type=int,
+                   default=d.loop_confirm_window)
+    g.add_argument("--loop_confirm_strong", type=float,
+                   default=d.loop_confirm_strong)
     g.add_argument("--no_global_reloc", dest="global_reloc",
                    action="store_false",
                    help="Disable kidnapped-robot recovery (place-recognition "

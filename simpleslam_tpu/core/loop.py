@@ -25,6 +25,23 @@ future"). This module is the TPU-native implementation:
     preceding keyframe, translation rescaled by the anchor's scale
     correction).
 
+False-positive defense (perceptual aliasing). Repetitive environments can
+pass ONE Sim3 RANSAC on coincidental structure — measured on the 1200-frame
+square soak: a 31-inlier aliased fit between two keyframes ~30 m apart was
+accepted and its pose-graph rewrite (max pose delta 8 m) warped the map away
+from reality, collapsing tracking. Two independent gates fix this class:
+
+  * ``loop_min_inlier_frac``: the inlier gate scales with the keypoint
+    budget (max(loop_min_inliers, frac * valid kpts)) — 31 inliers is
+    decisive at 512 kpts and noise at 2048 (genuine soak revisits carry
+    400-550).
+  * ``loop_confirm``: a verified closure is held PENDING until a second
+    geometric verification on a LATER keyframe implies the same drift
+    correction (the Sim3 error transported through odometry must agree in
+    rotation/scale/translation). Independent aliased fits almost never
+    agree twice; a genuine revisit re-verifies on the very next scan. The
+    pending record expires after ``loop_confirm_window`` keyframes.
+
 Everything hot is jitted + static-shape; the host side is only candidate
 bookkeeping and the (rare, out-of-hot-loop) map rewrite.
 """
@@ -45,6 +62,30 @@ from simpleslam_tpu.core.map import Map
 from simpleslam_tpu.ops import pgo, sim3
 
 logger = logging.getLogger("loop")
+
+
+# --------------------------------------------------------------------------- #
+# Host-side Sim(3) algebra (tiny (R, t, s) tuples; X -> s R X + t).
+# The confirmation gate composes a handful of 3x3s per verified candidate —
+# numpy is the right tool, no dispatch worth jitting.
+# --------------------------------------------------------------------------- #
+
+def _s_comp(A, B):
+    """A o B: apply B, then A."""
+    Ra, ta, sa = A
+    Rb, tb, sb = B
+    return (Ra @ Rb, sa * (Ra @ tb) + ta, sa * sb)
+
+
+def _s_inv(A):
+    Ra, ta, sa = A
+    Rt = Ra.T
+    return (Rt, -(Rt @ ta) / sa, 1.0 / sa)
+
+
+def _s_from_se3(T) -> tuple:
+    T = np.asarray(T, np.float64)
+    return (T[:3, :3].copy(), T[:3, 3].copy(), 1.0)
 
 
 # --------------------------------------------------------------------------- #
@@ -119,6 +160,9 @@ class LoopCloser:
         # ALL of them — otherwise a later closure's PGO redistributes its
         # drift into segments earlier closures already made consistent
         self._edges: List[tuple] = []
+        # verified-but-unconfirmed closures awaiting an odometry-consistent
+        # second verification (loop_confirm >= 2; see module docstring)
+        self._pending: List[dict] = []
 
     # ------------------------------------------------------------- detection
     def _ingest(self, kfs: List[Keyframe], img_hw) -> None:
@@ -190,6 +234,12 @@ class LoopCloser:
         """
         cfg = self.cfg
         kfc, kfq = kfs[cand], kfs[cur]
+        # inlier gate scales with the keypoint budget: a fixed count tuned on
+        # 512-kpt fixtures is noise at 2048 kpts (module docstring)
+        n_kp_valid = int(np.asarray(kfq.feats.valid).sum())
+        min_inl = max(int(cfg.loop_min_inliers),
+                      int(round(float(getattr(cfg, "loop_min_inlier_frac",
+                                              0.0)) * n_kp_valid)))
         m = frontend.feature_matcher(cfg, kfc.feats, kfq.feats, self.matcher)
         map_c = self._kp2pid(world_map, cand)
         map_q = self._kp2pid(world_map, cur)
@@ -210,7 +260,7 @@ class LoopCloser:
             Xw_c.append(self._position_of(world_map, pc))
             Xw_q.append(self._position_of(world_map, pq))
         n = len(Xw_c)
-        if n < max(3, int(cfg.loop_min_inliers)):
+        if n < max(3, min_inl):
             # INFO, not DEBUG: pair starvation is the one silent way a
             # genuine revisit dies (obs-slot pressure / same-pid exclusion) —
             # it must be visible in run logs
@@ -242,9 +292,9 @@ class LoopCloser:
             thresh_q, thresh_c,
             n_hyp=int(getattr(cfg, "ransac_hypotheses", 256)))
         n_inl = int(n_inl)
-        if not bool(ok) or n_inl < int(cfg.loop_min_inliers):
-            logger.info("[LOOP] cand %d rejected (%d/%d inliers)",
-                        cand, n_inl, n)
+        if not bool(ok) or n_inl < min_inl:
+            logger.info("[LOOP] cand %d rejected (%d/%d inliers, gate %d)",
+                        cand, n_inl, n, min_inl)
             return None
         # plausibility gate: a real revisit's relative scale is bounded by
         # accumulated monocular drift (a few x at worst). Extreme values mean
@@ -399,36 +449,140 @@ class LoopCloser:
         self._edges = loops                     # retain for future solves
         return float(c0), float(c1), max_delta
 
+    # ----------------------------------------------------------- confirmation
+    # Agreement tolerances between two verifications' implied drift
+    # corrections (transported through odometry). Genuine revisits one scan
+    # apart agree far inside these; independent aliased RANSAC fits land
+    # tens of degrees / map-scale translations apart.
+    _CONFIRM_ROT_DEG = 20.0
+    _CONFIRM_SCALE = 1.5
+    _CONFIRM_TRANS_FRAC = 0.3          # x median candidate scene depth
+
+    def _consistent(self, p: dict, q: dict) -> bool:
+        """Do two verified closures imply the SAME drift correction?
+
+        Each verification measures M_k = S(cur_k <- cand_k). With the poses
+        ESTIMATED at verification time, Mhat_k = T_cur_k o T_cand_k^-1, the
+        implied correction is E_k = M_k o Mhat_k^-1 (expressed in cur_k's
+        camera frame, scale = the measured drift scale). E_p transported
+        into cur_q's frame via the odometry G = T_cur_q o T_cur_p^-1 must
+        match E_q; the residual C = E_q^-1 o (G E_p G^-1) is gated on
+        rotation angle, scale, and translation."""
+        def _err(r):
+            Mhat = _s_comp(_s_from_se3(r["Tq"]), _s_inv(_s_from_se3(r["Tc"])))
+            return _s_comp(r["S"], _s_inv(Mhat))
+
+        G = _s_comp(_s_from_se3(q["Tq"]), _s_inv(_s_from_se3(p["Tq"])))
+        Ep = _s_comp(G, _s_comp(_err(p), _s_inv(G)))
+        C = _s_comp(_s_inv(_err(q)), Ep)
+        rot = float(np.degrees(np.arccos(
+            np.clip((np.trace(C[0]) - 1.0) / 2.0, -1.0, 1.0))))
+        sc = float(max(C[2], 1.0 / max(C[2], 1e-12)))
+        tn = float(np.linalg.norm(C[1]))
+        t_tol = self._CONFIRM_TRANS_FRAC * max(abs(q["depth"]), 1.0)
+        ok = (rot <= self._CONFIRM_ROT_DEG and sc <= self._CONFIRM_SCALE
+              and tn <= t_tol)
+        logger.info("[LOOP] confirm KF %d<->%d vs pending KF %d<->%d: "
+                    "rot %.1f deg, scale x%.2f, trans %.2f/%.2f m -> %s",
+                    q["cur"], q["cand"], p["cur"], p["cand"],
+                    rot, sc, tn, t_tol, "CONSISTENT" if ok else "reject")
+        return ok
+
+    def _gate_and_apply(self, kfs: List[Keyframe], world_map: Map, cur: int,
+                        cand: int, sim_score: float,
+                        ver) -> Optional[LoopClosure]:
+        """Confirmation gating for one geometric verification; applies the
+        closure (PGO + rewrite) once ``loop_confirm`` odometry-consistent
+        verifications on distinct keyframes have accumulated."""
+        S_meas, n_inl, depth = ver
+        rec = {"cur": cur, "cand": cand, "n_inl": n_inl, "depth": depth,
+               "sim": sim_score, "S_meas": S_meas,
+               "S": (np.asarray(S_meas.R, np.float64),
+                     np.asarray(S_meas.t, np.float64),
+                     float(np.asarray(S_meas.s))),
+               "Tq": np.asarray(kfs[cur].pose, np.float64).copy(),
+               "Tc": np.asarray(kfs[cand].pose, np.float64).copy()}
+        n_kp_valid = max(int(np.asarray(kfs[cur].feats.valid).sum()), 1)
+        strong = (n_inl / n_kp_valid
+                  >= float(getattr(self.cfg, "loop_confirm_strong", 1.0)))
+        if int(getattr(self.cfg, "loop_confirm", 1)) >= 2 and not strong:
+            win = int(getattr(self.cfg, "loop_confirm_window", 12))
+            self._pending = [p for p in self._pending
+                             if cur - p["cur"] <= win]
+            if not any(cur > p["cur"] and self._consistent(p, rec)
+                       for p in self._pending):
+                self._pending.append(rec)
+                if len(self._pending) > 4:
+                    self._pending.pop(0)
+                logger.info("[LOOP] pending: KF %d <-> KF %d (sim %.3f, %d "
+                            "inliers) awaits odometry-consistent "
+                            "confirmation", cur, cand, sim_score, n_inl)
+                return None
+        c0, c1, max_delta = self.close(kfs, world_map, cur, cand, S_meas)
+        lc = LoopClosure(
+            cur_kf=cur, cand_kf=cand, similarity=sim_score,
+            n_inliers=n_inl, scale=float(np.asarray(S_meas.s)),
+            cost_before=c0, cost_after=c1, max_pose_delta=max_delta)
+        self.closures.append(lc)
+        self._cooldown_until = cur + int(self.cfg.loop_gap_kfs)
+        self._pending = []      # rewrite invalidates stored poses/Sim3s
+        logger.info(
+            "[LOOP] closed: KF %d <-> KF %d (sim %.3f, %d inliers, "
+            "scale %.3f, cost %.2f -> %.2f, max pose delta %.3f m)",
+            cur, cand, sim_score, n_inl, lc.scale, c0, c1, max_delta)
+        return lc
+
     # ------------------------------------------------------------ entrypoint
     def on_new_keyframe(self, kfs: List[Keyframe], world_map: Map,
                         img_hw, key, cur: Optional[int] = None,
                         cands=None) -> Optional[LoopClosure]:
-        """Full detect -> verify -> close pass for keyframe ``cur``
+        """Full detect -> verify -> gate -> close pass for keyframe ``cur``
         (default: the newest). ``cands`` short-circuits detection when the
         caller already ran it (scan() logs candidate counts — the
         place-recognition pass over all past KFs must not run twice).
-        Returns the accepted LoopClosure (already applied) or None."""
+        Returns the accepted LoopClosure (already applied) or None (which
+        includes verifications parked as pending by the confirmation gate)."""
         if cur is None:
             cur = len(kfs) - 1
         if cands is None:
             cands = self.detect(kfs, img_hw, cur=cur)
+        tried = set()
         for cand, sim_score in cands:
+            tried.add(cand)
             ver = self.verify(kfs, world_map, cur, cand, key)
             if ver is None:
                 continue
-            S_meas, n_inl, _depth = ver
-            c0, c1, max_delta = self.close(kfs, world_map, cur, cand, S_meas)
-            lc = LoopClosure(
-                cur_kf=cur, cand_kf=cand, similarity=sim_score,
-                n_inliers=n_inl, scale=float(np.asarray(S_meas.s)),
-                cost_before=c0, cost_after=c1, max_pose_delta=max_delta)
-            self.closures.append(lc)
-            self._cooldown_until = cur + int(self.cfg.loop_gap_kfs)
-            logger.info(
-                "[LOOP] closed: KF %d <-> KF %d (sim %.3f, %d inliers, "
-                "scale %.3f, cost %.2f -> %.2f, max pose delta %.3f m)",
-                cur, cand, sim_score, n_inl, lc.scale, c0, c1, max_delta)
-            return lc
+            lc = self._gate_and_apply(kfs, world_map, cur, cand, sim_score,
+                                      ver)
+            if lc is not None:
+                return lc
+        # targeted re-verification: place recognition may not re-surface a
+        # pending closure's region in this keyframe's top-k, but the revisit
+        # (if genuine) has advanced along the OLD path by the same number of
+        # keyframes — verify that predicted candidate directly so pendings
+        # get their confirmation chance even when detection is flaky
+        win = int(getattr(self.cfg, "loop_confirm_window", 12))
+        self._pending = [p for p in self._pending if cur - p["cur"] <= win]
+        if self._pending:
+            gap = int(self.cfg.loop_gap_kfs)
+            for p in list(self._pending):
+                if cur <= p["cur"]:
+                    continue
+                exp = p["cand"] + (cur - p["cur"])
+                for cand in (exp, p["cand"]):
+                    if cand in tried or cand < 0 or cand >= cur - gap:
+                        continue
+                    tried.add(cand)
+                    ver = self.verify(kfs, world_map, cur, cand, key)
+                    if ver is None:
+                        continue
+                    sim_score = float(self._vecs[cur] @ self._vecs[cand]) \
+                        if cur < len(self._vecs) and cand < len(self._vecs) \
+                        else 0.0
+                    lc = self._gate_and_apply(kfs, world_map, cur, cand,
+                                              sim_score, ver)
+                    if lc is not None:
+                        return lc
         return None
 
     def scan(self, kfs: List[Keyframe], world_map: Map, img_hw,

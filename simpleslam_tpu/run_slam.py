@@ -28,6 +28,7 @@ Run:  python -m simpleslam_tpu.run_slam --dataset kitti --base_dir <dir> \
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -983,9 +984,18 @@ def run(cfg: SLAMConfig) -> SLAMResult:
         res.ate, stats = ate_rmse(est, gt_sel, align="sim3")
         logger.info("ATE-RMSE (Sim3): %.4f m over %d frames (scale %.3f)",
                     res.ate, stats.get("n", 0), stats.get("scale", 1.0))
+        if stats.get("n_nonfinite"):
+            logger.warning("ATE computed on the finite subset: %d non-finite "
+                           "pose rows dropped (diverged run)",
+                           stats["n_nonfinite"])
     logger.info("done: %d frames, %.2f FPS, %d KFs, %d landmarks, %d lost",
                 res.n_frames, res.fps, res.n_keyframes, res.n_landmarks,
                 res.tracking_lost_count)
+    if cfg.loop_closure:
+        logger.info("loop closures accepted: %d; archived landmarks: %d "
+                    "(cap %d)", res.loop_closures,
+                    len(system.world_map.archived),
+                    system.world_map.archive_cap)
     # Per-stage breakdown (SURVEY.md §5: per-stage FPS counters for the
     # >=60 FPS north star). 'keyframe' wholly contains the 'triangulate' and
     # 'local_ba' rows; 'host-gap' is loop time none of the stages account for.
@@ -1000,6 +1010,15 @@ def run(cfg: SLAMConfig) -> SLAMResult:
 def main(argv=None) -> int:
     from simpleslam_tpu.utils.platform import respect_platform_env
     respect_platform_env()
+    # Persistent compilation cache: the remote TPU compiler takes minutes on
+    # the fused program; repeated driver runs should hit the cache (same
+    # setup bench.py uses).
+    try:
+        os.makedirs("/tmp/jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     cfg = parse_config(argv)
     run(cfg)
     return 0

@@ -50,8 +50,14 @@ def ate_rmse(est_T: np.ndarray, gt_T: np.ndarray, *, align: str = "sim3",
     gt = _centers_from_T(np.asarray(gt_T), gt_convention)
     n = min(len(est), len(gt))
     est, gt = est[:n], gt[:n]
+    # a diverged run can log non-finite poses; evaluate the finite subset
+    # rather than crash the Umeyama SVD (and report how much was dropped)
+    finite = np.isfinite(est).all(axis=1) & np.isfinite(gt).all(axis=1)
+    n_bad = int(n - finite.sum())
+    if n_bad:
+        est, gt, n = est[finite], gt[finite], int(finite.sum())
     if n < 2:
-        return float("nan"), {}
+        return float("nan"), {"n": n, "n_nonfinite": n_bad}
 
     s, R, t = 1.0, np.eye(3), np.zeros(3)
     if align == "sim3":
@@ -63,10 +69,13 @@ def ate_rmse(est_T: np.ndarray, gt_T: np.ndarray, *, align: str = "sim3",
     aligned = s * est @ R.T + t
     err = np.linalg.norm(aligned - gt, axis=1)
     rmse = float(np.sqrt(np.mean(err ** 2)))
-    return rmse, {
+    stats = {
         "mean": float(err.mean()), "median": float(np.median(err)),
         "max": float(err.max()), "scale": float(s), "n": n,
     }
+    if n_bad:
+        stats["n_nonfinite"] = n_bad
+    return rmse, stats
 
 
 def rte(est_T: np.ndarray, gt_T: np.ndarray, delta: int = 1,

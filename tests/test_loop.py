@@ -307,6 +307,115 @@ def test_no_false_closure_on_distinct_views(loop_world):
     assert out is None and lc.closures == []
 
 
+# --------------------------------------------------------------------------- #
+# Confirmation gating (perceptual-aliasing defense, round-5 soak fix):
+# a verified closure in the ambiguous inlier band must be HELD pending until
+# a later verification implies the SAME drift correction through odometry.
+# --------------------------------------------------------------------------- #
+
+def _se3(R, t):
+    T = np.eye(4)
+    T[:3, :3], T[:3, 3] = R, t
+    return T
+
+
+def _roty(deg):
+    th = np.radians(deg)
+    c, s = np.cos(th), np.sin(th)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+
+class _StubKF:
+    def __init__(self, pose, n_valid=1000, n_pad=1024):
+        valid = np.zeros(n_pad, bool)
+        valid[:n_valid] = True
+        self.pose = np.asarray(pose, np.float64)
+        self.feats = type("F", (), {"valid": valid})()
+
+
+class _GateCloser(LoopCloser):
+    """LoopCloser with the map rewrite stubbed out — unit-tests the
+    _gate_and_apply pending/confirm/bypass state machine in isolation."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg, K_INTR, _matcher())
+        self.close_calls = []
+
+    def close(self, kfs, world_map, cur, cand, S):
+        self.close_calls.append((cur, cand))
+        return 1.0, 0.1, 0.5
+
+
+def _gate_fixture():
+    from simpleslam_tpu.core.loop import _s_comp, _s_inv, _s_from_se3
+    cfg = _cfg(loop_confirm=2, loop_confirm_strong=0.15,
+               loop_confirm_window=12, loop_min_inlier_frac=0.0)
+    # 30 stub keyframes along +z with mild yaw: "estimated" poses T_cw
+    kfs = [_StubKF(_se3(_roty(3 * k), [0.1 * k, 0, 2.0 * k]))
+           for k in range(30)]
+    # the TRUE drift correction both genuine verifications must imply
+    E = (_roty(5.0), np.array([1.0, 0.0, 0.5]), 1.2)
+
+    def measured(cur, cand, corr=E):
+        # S(cur <- cand) = corr o (T_cur o T_cand^-1): a verification whose
+        # implied correction (in cur's frame) is exactly `corr`
+        Mhat = _s_comp(_s_from_se3(kfs[cur].pose),
+                       _s_inv(_s_from_se3(kfs[cand].pose)))
+        R, t, s = _s_comp(corr, Mhat)
+        return sim3.Sim3(R=R, t=t, s=np.float64(s))
+
+    def transported(cur, cand, base_cur):
+        # genuine later verification: the SAME correction E, expressed in
+        # cur's frame after transporting from base_cur through odometry
+        G = _s_comp(_s_from_se3(kfs[cur].pose),
+                    _s_inv(_s_from_se3(kfs[base_cur].pose)))
+        corr = _s_comp(G, _s_comp(E, _s_inv(G)))
+        return measured(cur, cand, corr=corr)
+
+    return cfg, kfs, measured, transported
+
+
+def test_confirm_gate_parks_then_closes_on_consistent_evidence():
+    cfg, kfs, measured, transported = _gate_fixture()
+    lc = _GateCloser(cfg)
+    wm = None      # close() is stubbed; the gate itself never touches the map
+    # ambiguous-band verification (30/1000 = 3% < strong 15%): parked
+    out = lc._gate_and_apply(kfs, wm, 20, 2, 0.9, (measured(20, 2), 30, 10.0))
+    assert out is None and len(lc._pending) == 1 and not lc.close_calls
+    # an INCONSISTENT second fit (different aliased correction) also parks
+    bad = (_roty(40.0), np.array([5.0, 0.0, -3.0]), 0.4)
+    out = lc._gate_and_apply(kfs, wm, 22, 11, 0.9,
+                             (measured(22, 11, corr=bad), 30, 10.0))
+    assert out is None and len(lc._pending) == 2 and not lc.close_calls
+    # an odometry-CONSISTENT verification on a later KF closes
+    out = lc._gate_and_apply(kfs, wm, 23, 5, 0.9,
+                             (transported(23, 5, base_cur=20), 30, 10.0))
+    assert out is not None and lc.close_calls == [(23, 5)]
+    assert len(lc.closures) == 1 and lc.closures[0].n_inliers == 30
+    assert lc._pending == []      # rewrite invalidates stored poses
+
+
+def test_confirm_gate_strong_evidence_bypass():
+    cfg, kfs, measured, _ = _gate_fixture()
+    lc = _GateCloser(cfg)
+    # 300/1000 = 30% coverage >= strong 15%: applies immediately, no wait
+    out = lc._gate_and_apply(kfs, None, 20, 2, 0.9,
+                             (measured(20, 2), 300, 10.0))
+    assert out is not None and lc.close_calls == [(20, 2)]
+
+
+def test_confirm_gate_pending_expires():
+    cfg, kfs, measured, transported = _gate_fixture()
+    lc = _GateCloser(cfg)
+    lc._gate_and_apply(kfs, None, 5, 1, 0.9, (measured(5, 1), 30, 10.0))
+    assert len(lc._pending) == 1
+    # 14 KFs later (> window 12): the stale pending must not confirm
+    out = lc._gate_and_apply(kfs, None, 19, 3, 0.9,
+                             (transported(19, 3, base_cur=5), 30, 10.0))
+    assert out is None and not lc.close_calls
+    assert [p["cur"] for p in lc._pending] == [19]
+
+
 def test_loop_closes_through_archived_landmarks():
     """A revisit AFTER the old map region was evicted from the live store
     (device compaction -> sync_to_host archives it) must still verify and
@@ -377,16 +486,23 @@ def test_host_vs_fused_loop_closure_parity(tmp_path_factory, tmp_path,
 
     Fixture = the BASELINE.md square-loop fixture (boxes scene, seed 5,
     180x410, 512 kpts): a KITTI-shaped closed lap whose monocular drift the
-    closure corrects. Measured (1-CPU reference run): host closes
-    KF 37 <-> 3 (s=0.366), fused closes KF 36 <-> 3 (s=0.303); Sim3-aligned
-    inter-mode deltas med 1.98 m / max 5.59 m on the ~65 m path."""
+    closure corrects. Measured (virtual-8-device mesh, the conftest env):
+    host closes KF 37 <-> 3 (s=0.366), fused closes KF 36 <-> 3 (s=0.303);
+    Sim3-aligned inter-mode deltas med 1.98 m / max 5.59 m on the ~65 m path.
+
+    Run with --loop_confirm 1: this test pins DRIVER parity (the two modes'
+    integration of the shared LoopCloser), not the confirmation policy. At
+    this miniature scale the closure evidence is marginal (~30 inliers,
+    ~6%% of kpts — inside the ambiguous band), so the round-5 aliasing gate
+    correctly parks it pending and (the fits being noisy) never confirms;
+    the gate itself is unit-tested above on constructed Sim3 evidence."""
     base = str(tmp_path_factory.mktemp("lc_parity_seq"))
     generate_kitti_sequence(base, n_frames=130, seed=5, hw=(180, 410),
                             scene="boxes", trajectory="square")
     monkeypatch.chdir(tmp_path)
     argv = ["--dataset", "kitti", "--base_dir", base, "--headless",
             "--no_viz3d", "--max_features", "512", "--map_capacity", "4096",
-            "--loop_closure"]
+            "--loop_closure", "--loop_confirm", "1"]
     res_host = run(parse_config(argv))
     res_fused = run(parse_config(argv + ["--fused"]))
 
@@ -404,7 +520,7 @@ def test_host_vs_fused_loop_closure_parity(tmp_path_factory, tmp_path,
     cur_f_f = res_fused.kf_frames[cf.cur_kf]
     assert abs(cand_f_h - cand_f_f) <= 8, (cand_f_h, cand_f_f)
     assert abs(cur_f_h - cur_f_f) <= 32, (cur_f_h, cur_f_f)
-    # ... measuring consistent Sim3 drift (scale within 35%: the consensus
+    # ... measuring consistent Sim3 drift (scale within 55%: the consensus
     # sets differ between modes, the drift they measure must not)
     assert 0.65 < ch.scale / cf.scale < 1.55, (ch.scale, cf.scale)
 
