@@ -168,16 +168,31 @@ class SLAMConfig:
     loop_confirm_window: int = 12          # pending verification expires after
                                            # the camera advances this many KFs
                                            # without a consistent confirmation
-    loop_confirm_strong: float = 0.15      # strong-evidence bypass: a closure
+    loop_confirm_strong: float = 0.35      # strong-evidence bypass: a closure
                                            # whose inliers cover >= this
                                            # fraction of the KF's valid
                                            # keypoints applies immediately
-                                           # (no 2nd-scan wait). Aliased fits
-                                           # are low-coverage (1.5% measured);
-                                           # genuine full-scale revisits carry
-                                           # 20-27%. Only the ambiguous band
-                                           # [min_inlier_frac, strong) needs
-                                           # temporal confirmation
+                                           # (no 2nd-scan wait). Was 0.15
+                                           # until a periodic-texture alias
+                                           # measured at exactly 15% coverage
+                                           # slipped through on the box-field
+                                           # soak; genuine full-scale
+                                           # revisits carry 20-27% (those now
+                                           # confirm via consistency), unit
+                                           # fixtures 60%+ (still bypass)
+    loop_drift_frac_max: float = 0.6       # plausible-drift gate: reject a
+                                           # verified closure whose implied
+                                           # odometry correction |E_t|
+                                           # exceeds this fraction of the
+                                           # estimated cand->cur arc length.
+                                           # STABLE periodic aliasing passes
+                                           # RANSAC *and* two-scan
+                                           # consistency (consecutive KFs
+                                           # alias identically) but claims
+                                           # ~100% drift over a well-tracked
+                                           # path; genuine closures measure
+                                           # 8-26% (core/loop.py
+                                           # _implied_drift). 0 disables
     # ---- global relocalization (kidnapped robot; beyond reference) --------
     global_reloc: bool = True              # after sustained loss, PnP against
                                            # place-recognition candidates over
@@ -370,6 +385,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.loop_confirm_window)
     g.add_argument("--loop_confirm_strong", type=float,
                    default=d.loop_confirm_strong)
+    g.add_argument("--loop_drift_frac_max", type=float,
+                   default=d.loop_drift_frac_max)
     g.add_argument("--no_global_reloc", dest="global_reloc",
                    action="store_false",
                    help="Disable kidnapped-robot recovery (place-recognition "

@@ -47,6 +47,7 @@ the host driver's derivation — so RANSAC outcomes match between modes.
 """
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
@@ -58,6 +59,8 @@ from flax import struct
 from simpleslam_tpu.core.types import Features, Matches
 from simpleslam_tpu.ops import epipolar, pnp, se3
 from simpleslam_tpu.ops.ba import BAProblem, ba_solve
+
+logger = logging.getLogger("fused")
 from simpleslam_tpu.ops.triangulation import (projection_matrix,
                                               triangulate_two_view,
                                               two_view_gates)
@@ -470,6 +473,24 @@ def sync_to_host(system, state: FusedState, fc: FusedConfig,
                                    host["desc01"][r, min(o, 1)])
     system._fused_compactions = int(host["compactions"])
     wm.version += 1
+    # map-pressure diagnostics: the one observable that distinguishes
+    # "tracking died" (n_inl collapses first) from "map starved" (alive
+    # saturates at capacity so triangulation output is dropped) on long
+    # runs — measured per sync so post-mortems don't need --save_state
+    fl = host["log_flags"]
+    lo = max(from_row, 0)
+    if n_log > lo:
+        w = fl[lo:n_log]
+        logger.info(
+            "[SYNC] frames %d..%d: map %d/%d alive (%d rows, %d "
+            "compactions), KFs %d; window tracked %d/%d, med n_inl %.0f, "
+            "med n_cand %.0f, new pts %d",
+            int(host["log_frame"][lo]), int(host["log_frame"][n_log - 1]),
+            int(alive.sum()), fc.map_capacity, n_pts,
+            int(host["compactions"]), int(host["kf_count"]),
+            int((w[:, 0] > 0.5).sum()), n_log - lo,
+            float(np.median(w[:, 2])), float(np.median(w[:, 4])),
+            int(w[:, 3].sum()))
 
     # materialize device-created keyframes as host Keyframe objects so
     # --save_state / resume / viz carry the full KF record, not just the

@@ -41,6 +41,14 @@ from reality, collapsing tracking. Two independent gates fix this class:
     rotation/scale/translation). Independent aliased fits almost never
     agree twice; a genuine revisit re-verifies on the very next scan. The
     pending record expires after ``loop_confirm_window`` keyframes.
+  * ``loop_drift_frac_max``: STABLE aliasing (periodic texture: the box
+    grid repeats along a straight) defeats two-scan consistency because
+    consecutive keyframes alias the same way — measured on the same soak,
+    two fits to KF 0 agreeing to 7.4 deg before an 8.2 m rewrite killed
+    the run. The un-fakeable signal: the correction magnitude |E_t| a
+    closure demands is bounded by the drift its odometry span could have
+    accumulated. The alias claimed ~100% of a 70 m continuously-tracked
+    path; genuine closures measure 8-26% of the span.
 
 Everything hot is jitted + static-shape; the host side is only candidate
 bookkeeping and the (rare, out-of-hot-loop) map rewrite.
@@ -488,6 +496,26 @@ class LoopCloser:
                     rot, sc, tn, t_tol, "CONSISTENT" if ok else "reject")
         return ok
 
+    def _implied_drift(self, kfs: List[Keyframe], rec: dict) -> tuple:
+        """(|E_t|, estimated arc length cand->cur).
+
+        E = M o Mhat^-1 is the odometry error the closure claims
+        accumulated between cand and cur; the arc length (sum of
+        consecutive estimated KF-center steps over that span) is the path
+        that must have produced it. Their ratio is the claimed drift
+        fraction."""
+        Mhat = _s_comp(_s_from_se3(rec["Tq"]), _s_inv(_s_from_se3(rec["Tc"])))
+        E = _s_comp(rec["S"], _s_inv(Mhat))
+        c = []
+        for k in range(rec["cand"], rec["cur"] + 1):
+            T = np.asarray(kfs[k].pose, np.float64)
+            c.append(-(T[:3, :3].T @ T[:3, 3]))
+        c = np.asarray(c)
+        c = c[np.isfinite(c).all(axis=1)]
+        arc = float(np.linalg.norm(np.diff(c, axis=0), axis=1).sum()) \
+            if len(c) > 1 else 0.0
+        return float(np.linalg.norm(E[1])), arc
+
     def _gate_and_apply(self, kfs: List[Keyframe], world_map: Map, cur: int,
                         cand: int, sim_score: float,
                         ver) -> Optional[LoopClosure]:
@@ -502,6 +530,27 @@ class LoopCloser:
                      float(np.asarray(S_meas.s))),
                "Tq": np.asarray(kfs[cur].pose, np.float64).copy(),
                "Tc": np.asarray(kfs[cand].pose, np.float64).copy()}
+        # plausible-drift gate (STABLE-aliasing defense, the round-5 soak's
+        # second find): in a periodic scene consecutive keyframes alias the
+        # SAME way, so two false fits pass the odometry-consistency check —
+        # measured on the box-field soak (88- and 90-inlier fits to KF 0
+        # agreeing to 7.4 deg / x1.00 / 4.9 m, then an 8.2 m rewrite killed
+        # the run). What no alias can fake: a genuine closure's correction
+        # magnitude is bounded by the drift the path could have accumulated.
+        # The alias claimed ~100% of a continuously-tracked 70 m path;
+        # genuine closures measure 8-26% (fixtures + soak).
+        drift, arc = self._implied_drift(kfs, rec)
+        frac_max = float(getattr(self.cfg, "loop_drift_frac_max", 0.0))
+        if arc > 1e-6:
+            logger.info("[LOOP] drift check KF %d<->%d: correction |E_t| "
+                        "%.2f m over %.2f m estimated path (%.0f%%)",
+                        cur, cand, drift, arc, 100.0 * drift / arc)
+        if frac_max > 0 and arc > 1e-6 and drift > frac_max * arc:
+            logger.info("[LOOP] cand %d REJECTED by drift plausibility "
+                        "(%.0f%% > %.0f%% max) — periodic-texture alias "
+                        "signature", cand, 100.0 * drift / arc,
+                        100.0 * frac_max)
+            return None
         n_kp_valid = max(int(np.asarray(kfs[cur].feats.valid).sum()), 1)
         strong = (n_inl / n_kp_valid
                   >= float(getattr(self.cfg, "loop_confirm_strong", 1.0)))
