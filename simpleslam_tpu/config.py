@@ -180,6 +180,15 @@ class SLAMConfig:
                                            # revisits carry 20-27% (those now
                                            # confirm via consistency), unit
                                            # fixtures 60%+ (still bypass)
+    fused_rescue_after: int = 24           # fused loop-closure mode: after
+                                           # this many consecutive lost
+                                           # frames, the periodic sync runs
+                                           # HOST-side global reloc over ALL
+                                           # keyframes + the archive and
+                                           # pushes pose + re-injected
+                                           # landmarks to the device (the
+                                           # on-device greloc only sees the
+                                           # Kw-slot KF ring). 0 disables
     loop_drift_frac_max: float = 0.6       # plausible-drift gate: reject a
                                            # verified closure whose implied
                                            # odometry correction |E_t|
@@ -387,6 +396,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.loop_confirm_strong)
     g.add_argument("--loop_drift_frac_max", type=float,
                    default=d.loop_drift_frac_max)
+    g.add_argument("--fused_rescue_after", type=int,
+                   default=d.fused_rescue_after)
     g.add_argument("--no_global_reloc", dest="global_reloc",
                    action="store_false",
                    help="Disable kidnapped-robot recovery (place-recognition "

@@ -491,6 +491,20 @@ def sync_to_host(system, state: FusedState, fc: FusedConfig,
             int((w[:, 0] > 0.5).sum()), n_log - lo,
             float(np.median(w[:, 2])), float(np.median(w[:, 4])),
             int(w[:, 3].sum()))
+        # long single-sync windows (no-loop runs): per-64-frame breakdown so
+        # one diagnostic run localizes WHERE tracking degrades (corner onset
+        # vs gradual starvation) without --save_state
+        if n_log - lo > 128:
+            for s in range(lo, n_log, 64):
+                e = min(s + 64, n_log)
+                v = fl[s:e]
+                logger.info(
+                    "[SYNC]   frames %d..%d: tracked %d/%d, med n_inl %.0f,"
+                    " med n_cand %.0f, kfs %d, new pts %d",
+                    int(host["log_frame"][s]), int(host["log_frame"][e - 1]),
+                    int((v[:, 0] > 0.5).sum()), e - s,
+                    float(np.median(v[:, 2])), float(np.median(v[:, 4])),
+                    int((v[:, 1] > 0.5).sum()), int(v[:, 3].sum()))
 
     # materialize device-created keyframes as host Keyframe objects so
     # --save_state / resume / viz carry the full KF record, not just the

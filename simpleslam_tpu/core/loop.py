@@ -512,9 +512,17 @@ class LoopCloser:
             c.append(-(T[:3, :3].T @ T[:3, 3]))
         c = np.asarray(c)
         c = c[np.isfinite(c).all(axis=1)]
-        arc = float(np.linalg.norm(np.diff(c, axis=0), axis=1).sum()) \
-            if len(c) > 1 else 0.0
-        return float(np.linalg.norm(E[1])), arc
+        if len(c) < 2:
+            return float(np.linalg.norm(E[1])), 0.0
+        steps = np.linalg.norm(np.diff(c, axis=0), axis=1)
+        # dead-reckoned stretches log finite-garbage poses whose steps
+        # inflate the arc by orders of magnitude (measured 2e20 m on the
+        # square soak after a 728-frame outage) — clip each step to 10x the
+        # median so the gate stays meaningful across an outage
+        med = float(np.median(steps))
+        if med > 0:
+            steps = np.minimum(steps, 10.0 * med)
+        return float(np.linalg.norm(E[1])), float(steps.sum())
 
     def _gate_and_apply(self, kfs: List[Keyframe], world_map: Map, cur: int,
                         cand: int, sim_score: float,

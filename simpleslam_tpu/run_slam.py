@@ -666,6 +666,161 @@ class SLAMSystem:
         return feats
 
 
+def _host_assist_reloc(cfg: SLAMConfig, system: "SLAMSystem", state, fc,
+                       host: dict):
+    """Fused-mode kidnapped-robot rescue at a loop sync (beyond reference).
+
+    The on-device global reloc only sees the Kw-slot keyframe RING
+    (core/fused.py kf_place) — after a long outage the ring holds only
+    dead-zone keyframes, so the device can never jump back to the early
+    map (measured on the 1200-frame square soak: 360 consecutive lost
+    frames straight through a revisit of the densest mapped region). The
+    HOST at sync time has every keyframe, the full place-vector index and
+    the landmark archive: relocalize the newest synced keyframe against
+    ALL of them, then push the recovered pose AND the matched region's
+    archived landmarks (positions + descriptors recovered through their
+    observing keyframes) back into free device map rows so tracking has
+    something to associate against on the next dispatch.
+
+    Returns the updated FusedState, or None if no rescue happened."""
+    import jax.numpy as jnp
+
+    fl = host["log_flags"]
+    n_log = int(host["log_n"])
+    after = int(getattr(cfg, "fused_rescue_after", 24))
+    if after <= 0 or n_log == 0:
+        return None
+    streak = 0
+    for i in range(n_log - 1, -1, -1):
+        if fl[i, 0] > 0.5:
+            break
+        streak += 1
+    if streak < after:
+        return None
+    # query view: the newest synced keyframe that still carries real
+    # features (ring-materialized this sync)
+    kf_q = next((kf for kf in reversed(system.kfs)
+                 if int(np.asarray(kf.feats.valid).sum()) > 0), None)
+    if kf_q is None or system.loop_closer is None:
+        return None
+    wm = system.world_map
+    lc = system.loop_closer
+    from simpleslam_tpu.core import frontend
+    from simpleslam_tpu.core.fused import SITE_GRELOC
+    from simpleslam_tpu.core.loop import place_vector
+    while len(system._place_vecs) < len(system.kfs):
+        kf = system.kfs[len(system._place_vecs)]
+        system._place_vecs.append(
+            place_vector(kf.feats, system.img_hw, cfg.loop_grid))
+    vec = place_vector(kf_q.feats, system.img_hw, cfg.loop_grid)
+    sims = np.stack(system._place_vecs) @ vec
+    order = [c for c in np.argsort(-sims)
+             if system.kfs[int(c)].idx != kf_q.idx]
+    kpts_q = np.asarray(kf_q.feats.kpts)
+    for cand in order[: max(4, int(cfg.global_reloc_topk))]:
+        if sims[cand] < cfg.global_reloc_min_sim:
+            break
+        kf_c = system.kfs[int(cand)]
+        kp2pid = lc._kp2pid(wm, kf_c.idx)
+        if len(kp2pid) < cfg.pnp_min_inliers:
+            continue                    # dead-zone KF: maps nothing
+        m = frontend.feature_matcher(cfg, kf_c.feats, kf_q.feats,
+                                     system.matcher)
+        pts3d, pts2d = [], []
+        for a, b, v in zip(np.asarray(m.idx0), np.asarray(m.idx1),
+                           np.asarray(m.valid)):
+            pid = kp2pid.get(int(a))
+            if v and pid is not None:
+                pts3d.append(lc._position_of(wm, pid).astype(np.float32))
+                pts2d.append(kpts_q[int(b)])
+        if len(pts3d) < cfg.pnp_min_inliers:
+            continue
+        M = len(pts3d)
+        Mp = 1 << (max(M, 8) - 1).bit_length()
+        P3 = np.zeros((Mp, 3), np.float32)
+        P2 = np.zeros((Mp, 2), np.float32)
+        val = np.zeros(Mp, bool)
+        P3[:M], P2[:M], val[:M] = pts3d, pts2d, True
+        T_r, _inl, n_inl, ok = pnp.solve_pnp_ransac(
+            system._site_key(kf_q.frame_idx, SITE_GRELOC),
+            jnp.asarray(P3), jnp.asarray(P2), jnp.asarray(val),
+            jnp.asarray(system.K, jnp.float32), cfg.ransac_thresh,
+            Tcw_init=jnp.asarray(kf_c.pose, jnp.float32),
+            n_hyp=cfg.ransac_hypotheses)
+        # a junk-drift keyframe can pass a marginal PnP on locally-
+        # consistent garbage; a real revisit of a mapped region clears a
+        # 2x gate easily
+        if not bool(ok) or int(n_inl) < 2 * cfg.pnp_min_inliers:
+            continue
+        T_r = np.asarray(T_r, np.float64)
+        # ---- re-inject the matched region's landmarks into the device map
+        n_points = int(host["n_points"])
+        C = fc.map_capacity
+        dev_alive = {int(p) for p, a in zip(host["pid"][:n_points],
+                                            host["alive"][:n_points]) if a}
+        inject = {}
+        for nb in range(max(0, int(cand) - 2),
+                        min(len(system.kfs), int(cand) + 3)):
+            kf_n = system.kfs[nb]
+            if int(np.asarray(kf_n.feats.valid).sum()) == 0:
+                continue
+            desc_n = np.asarray(kf_n.feats.desc)
+            valid_n = np.asarray(kf_n.feats.valid)
+            for kp, pid in lc._kp2pid(wm, kf_n.idx).items():
+                if pid in dev_alive or pid in inject or kp >= len(desc_n) \
+                        or not valid_n[kp]:
+                    continue
+                inject[pid] = (lc._position_of(wm, pid), desc_n[kp])
+        free = C - n_points
+        items = list(inject.items())[: min(free, 2048)]
+        frame_now = int(np.asarray(state.frame_no))
+        if items:
+            rows = jnp.arange(n_points, n_points + len(items))
+            pos_i = jnp.asarray(np.stack([p for _, (p, _d) in items])
+                                .astype(np.float32))
+            desc_i = jnp.asarray(np.stack([d for _, (_p, d) in items])
+                                 .astype(np.float32))
+            pids_i = jnp.asarray(np.array([p for p, _ in items], np.int32))
+            state = state.replace(
+                positions=state.positions.at[rows].set(pos_i),
+                alive=state.alive.at[rows].set(True),
+                desc_ring=state.desc_ring.at[rows, 0].set(desc_i),
+                n_desc=state.n_desc.at[rows].set(1),
+                obs_kf=state.obs_kf.at[rows].set(-1),
+                obs_n=state.obs_n.at[rows].set(0),
+                pid=state.pid.at[rows].set(pids_i),
+                last_seen=state.last_seen.at[rows].set(frame_now),
+                n_points=jnp.int32(n_points + len(items)))
+            # host map: the injected pids are live again (sync reconciles
+            # by pid; leaving them archived would re-archive them)
+            grey = np.full((3,), 0.7, np.float32)
+            for pid, (pos, _d) in items:
+                if pid in wm.archived:
+                    _apos, obs_pairs, created = wm.archived.pop(pid)
+                    if wm.upsert_point(pid, np.asarray(pos, np.float64),
+                                       colour=grey, keyframe_idx=created):
+                        mp = wm.points[pid]
+                        for (k, kp) in obs_pairs:
+                            kfk = system.kfs[k] if k < len(system.kfs) \
+                                else None
+                            if kfk is not None and \
+                                    kp < len(np.asarray(kfk.feats.desc)):
+                                mp.add_observation(
+                                    k, kp, np.asarray(kfk.feats.desc)[kp])
+            wm.version += 1
+        state = state.replace(
+            Tcw=jnp.asarray(T_r, jnp.float32),
+            Tcw_prev=jnp.asarray(T_r, jnp.float32),   # zero velocity
+            lost_streak=jnp.int32(0))
+        logger.info(
+            "[RESCUE] host-assisted reloc after %d lost frames: KF %d "
+            "recovered via KF %d (sim %.3f, %d/%d inliers), %d landmarks "
+            "re-injected (%d archived remain)", streak, kf_q.idx, kf_c.idx,
+            float(sims[cand]), int(n_inl), M, len(items), len(wm.archived))
+        return state
+    return None
+
+
 def _run_fused_loop(cfg: SLAMConfig, seq: Sequence, system: "SLAMSystem",
                     prev_feats: Features, start_idx: int) -> None:
     """Device-resident tracking for frames [start_idx, len(seq)): one jitted
@@ -744,6 +899,13 @@ def _run_fused_loop(cfg: SLAMConfig, seq: Sequence, system: "SLAMSystem",
                         # push the corrected map/poses back to the device
                         state = apply_host_correction(state, system, fc,
                                                       host)
+                    else:
+                        # sustained-loss rescue: the device greloc only sees
+                        # the KF ring; the host sees everything
+                        rescued = _host_assist_reloc(cfg, system, state,
+                                                     fc, host)
+                        if rescued is not None:
+                            state = rescued
             elif sync_every and n_dispatched % sync_every == 0:
                 with system.timer.stage("fused_sync"):
                     # partial sync: force the pose log so far (observes all
