@@ -901,9 +901,16 @@ def _run_fused_loop(cfg: SLAMConfig, seq: Sequence, system: "SLAMSystem",
                                                       host)
                     else:
                         # sustained-loss rescue: the device greloc only sees
-                        # the KF ring; the host sees everything
-                        rescued = _host_assist_reloc(cfg, system, state,
-                                                     fc, host)
+                        # the KF ring; the host sees everything. Best-effort:
+                        # a failed rescue must never take down the run the
+                        # device loop could still recover on its own.
+                        try:
+                            rescued = _host_assist_reloc(cfg, system, state,
+                                                         fc, host)
+                        except Exception:
+                            logger.exception("[RESCUE] host-assisted reloc "
+                                             "failed; continuing unrescued")
+                            rescued = None
                         if rescued is not None:
                             state = rescued
             elif sync_every and n_dispatched % sync_every == 0:
